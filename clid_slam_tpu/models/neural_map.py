@@ -1,0 +1,377 @@
+"""Fixed-capacity voxel-hashed neural point map — the heart of the engine.
+
+TPU-native re-design of the reference's NeuralPoints store
+(model/neural_points.py:27-1051). Key differences, by design:
+
+- **Fixed-capacity slabs** instead of torch.cat growth
+  (model/neural_points.py:393-431): all per-point arrays are pre-allocated
+  with ``capacity + 1`` rows; row ``capacity`` is a zero sentinel used both
+  for invalid-gather targets and as the scatter trash row, mirroring the
+  reference's "padding in the end" feature row (model/neural_points.py:410).
+- **No separate local map copy.** The reference materializes
+  local_neural_points / local_geo_features every frame
+  (model/neural_points.py:439-536); here locality is enforced *inside the
+  query* by the travel-distance window filter
+  (model/neural_points.py:1003-1009), so training updates the global feature
+  slab directly and `assign_local_to_global` is unnecessary.
+- **Masked static shapes everywhere**: insertion takes (points, mask) and
+  returns a new state + stats; queries return per-neighbor validity masks.
+- The whole state is a pytree (NamedTuple) — pure functions + donated
+  buffers under jit, so updates are in-place in XLA.
+
+Query semantics follow model/neural_points.py:553-769 / 971-1030:
+K-cell hash probe, travel-dist window filter, collision rejection by
+distance, kNN(k) selection, inverse-distance-squared weights, weighted
+feature+relative-vector concatenation (weighted_first mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.voxel import (
+    grid_coords,
+    neighbor_offsets,
+    voxel_down_sample_mask,
+    voxel_hash,
+)
+
+
+class NeuralMapState(NamedTuple):
+    """All arrays have a sentinel row at index ``capacity``."""
+
+    positions: jnp.ndarray  # [C+1, 3] f32
+    quats: jnp.ndarray  # [C+1, 4] f32 (wxyz, identity at creation)
+    geo_feats: jnp.ndarray  # [C+1, F] f32  (trainable)
+    certainty: jnp.ndarray  # [C+1] f32
+    ts_create: jnp.ndarray  # [C+1] i32
+    ts_update: jnp.ndarray  # [C+1] i32
+    count: jnp.ndarray  # scalar i32, number of live points
+    hash_table: jnp.ndarray  # [H] i32, -1 = empty, else point index
+
+
+def init_map(capacity: int, hash_size: int, feature_dim: int) -> NeuralMapState:
+    c1 = capacity + 1
+    return NeuralMapState(
+        positions=jnp.zeros((c1, 3), jnp.float32),
+        quats=jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (c1, 1)),
+        geo_feats=jnp.zeros((c1, feature_dim), jnp.float32),
+        certainty=jnp.zeros((c1,), jnp.float32),
+        ts_create=jnp.zeros((c1,), jnp.int32),
+        ts_update=jnp.zeros((c1,), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        hash_table=jnp.full((hash_size,), -1, jnp.int32),
+    )
+
+
+def map_capacity(state: NeuralMapState) -> int:
+    return state.positions.shape[0] - 1
+
+
+# ------------------------------------------------------------------ insert
+
+
+@partial(jax.jit, static_argnames=("downsample",), donate_argnums=(0,))
+def insert_points(
+    state: NeuralMapState,
+    points: jnp.ndarray,  # [M,3] world frame
+    mask: jnp.ndarray,  # [M] bool
+    resolution,
+    travel_dist: jnp.ndarray,  # [T] accumulated travel distance per frame
+    cur_ts,
+    diff_travel_dist_local,
+    downsample: bool = True,
+) -> Tuple[NeuralMapState, jnp.ndarray]:
+    """Insert new neural points (semantics of model/neural_points.py:324-437).
+
+    A candidate point claims a slot when its voxel bucket is empty, the
+    occupant is far away (hash collision, dist² > 3·res²), or the occupant is
+    stale by travel distance. Returns (new_state, new_point_ratio).
+    """
+    cap = map_capacity(state)
+    hsize = state.hash_table.shape[0]
+
+    if downsample:
+        mask = voxel_down_sample_mask(points, mask, resolution, hsize)
+
+    g = grid_coords(points, resolution)
+    h = voxel_hash(g, hsize)
+    cur_idx = state.hash_table[h]
+    occupied = cur_idx >= 0
+    safe_idx = jnp.where(occupied, cur_idx, cap)
+    occ_pos = state.positions[safe_idx]
+    dist2 = jnp.sum((occ_pos - points) ** 2, axis=-1)
+    collision = dist2 > 3.0 * resolution * resolution
+    delta_td = travel_dist[cur_ts] - travel_dist[state.ts_update[safe_idx]]
+    stale = delta_td > diff_travel_dist_local
+
+    is_first = state.count == 0
+    update = mask & (~occupied | collision | stale | is_first)
+
+    # allocate contiguous slots for the winners
+    offs = jnp.cumsum(update.astype(jnp.int32)) - 1
+    new_idx = state.count + offs
+    update = update & (new_idx < cap)
+    slot = jnp.where(update, new_idx, cap)  # losers write the sentinel row
+
+    n_new = jnp.sum(update.astype(jnp.int32))
+    positions = state.positions.at[slot].set(points)
+    quats = state.quats.at[slot].set(jnp.array([1.0, 0, 0, 0], jnp.float32))
+    geo_feats = state.geo_feats.at[slot].set(0.0)
+    certainty = state.certainty.at[slot].set(0.0)
+    ts = jnp.asarray(cur_ts, jnp.int32)
+    ts_create = state.ts_create.at[slot].set(ts)
+    ts_update = state.ts_update.at[slot].set(ts)
+    # restore sentinel row
+    positions = positions.at[cap].set(0.0)
+    geo_feats = geo_feats.at[cap].set(0.0)
+    certainty = certainty.at[cap].set(0.0)
+    ts_create = ts_create.at[cap].set(0)
+    ts_update = ts_update.at[cap].set(0)
+
+    hash_table = state.hash_table.at[jnp.where(update, h, hsize)].set(
+        new_idx.astype(jnp.int32), mode="drop"
+    )
+
+    new_ratio = n_new / jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    new_state = NeuralMapState(
+        positions=positions,
+        quats=quats,
+        geo_feats=geo_feats,
+        certainty=certainty,
+        ts_create=ts_create,
+        ts_update=ts_update,
+        count=jnp.minimum(state.count + n_new, cap),
+        hash_table=hash_table,
+    )
+    return new_state, new_ratio
+
+
+# ------------------------------------------------------------------- query
+
+
+class QueryResult(NamedTuple):
+    feature: jnp.ndarray  # [N, F+3] weighted feature ‖ relative vector
+    weights: jnp.ndarray  # [N, k] normalized IDW weights (0 for invalid)
+    knn_idx: jnp.ndarray  # [N, k] point indices (-1 invalid)
+    nn_count: jnp.ndarray  # [N] neighbor count before kNN selection
+    certainty: jnp.ndarray  # [N] interpolated certainty
+
+
+def neighborhood_search(
+    state: NeuralMapState,
+    points: jnp.ndarray,  # [N,3]
+    nb_offs: jnp.ndarray,  # [K,3] static neighbor-cell offsets
+    resolution,
+    max_valid_dist2,
+    travel_dist,  # [T] or None
+    cur_ts,
+    diff_travel_dist_local,
+    time_filtering: bool,
+):
+    """[N] points -> ([N,K] dist², [N,K] idx) over the K-cell neighborhood
+    (semantics of model/neural_points.py:971-1030)."""
+    cap = map_capacity(state)
+    hsize = state.hash_table.shape[0]
+    g = grid_coords(points, resolution)  # [N,3]
+    cells = g[:, None, :] + nb_offs[None, :, :]  # [N,K,3]
+    h = voxel_hash(cells, hsize)  # [N,K]
+    idx = state.hash_table[h]  # [N,K]
+
+    if time_filtering:
+        safe = jnp.where(idx >= 0, idx, cap)
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_create[safe]])
+        idx = jnp.where(dtd < diff_travel_dist_local, idx, -1)
+
+    safe = jnp.where(idx >= 0, idx, cap)
+    nb_pos = state.positions[safe]  # [N,K,3]
+    d2 = jnp.sum((nb_pos - points[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(idx >= 0, d2, max_valid_dist2)
+    # collision rejection: too far for this neighborhood -> invalid
+    idx = jnp.where(d2 > max_valid_dist2, -1, idx)
+    return d2, idx
+
+
+def query_feature(
+    state: NeuralMapState,
+    points: jnp.ndarray,  # [N,3]
+    nb_offs: jnp.ndarray,  # [K,3]
+    resolution,
+    max_valid_dist2,
+    knn_k: int,
+    travel_dist=None,
+    cur_ts=0,
+    diff_travel_dist_local=1e9,
+    time_filtering: bool = False,
+) -> QueryResult:
+    """kNN feature interpolation (model/neural_points.py:553-769,
+    weighted_first mode). Differentiable wrt ``points`` and
+    ``state.geo_feats``."""
+    cap = map_capacity(state)
+    d2, idx = neighborhood_search(
+        state,
+        points,
+        nb_offs,
+        resolution,
+        max_valid_dist2,
+        travel_dist,
+        cur_ts,
+        diff_travel_dist_local,
+        time_filtering,
+    )
+    nn_count = jnp.sum((idx >= 0).astype(jnp.int32), axis=-1)  # [N]
+
+    # kNN selection: smallest distances first (invalid pushed to 9e3 like
+    # model/neural_points.py:606)
+    d2_for_sort = jnp.where(idx >= 0, d2, 9e3)
+    neg_top, sel = jax.lax.top_k(-d2_for_sort, knn_k)  # [N,k]
+    knn_d2 = -neg_top
+    knn_idx = jnp.take_along_axis(idx, sel, axis=1)  # [N,k]
+    # dedupe: two probed cells can share a hash bucket and surface the same
+    # point twice; keep only the first occurrence (k x k compare, k=6)
+    dup = (knn_idx[:, :, None] == knn_idx[:, None, :]) & (
+        jnp.tri(knn_k, knn_k, -1, dtype=bool)[None]
+    )
+    knn_idx = jnp.where(jnp.any(dup, axis=-1), -1, knn_idx)
+    valid = knn_idx >= 0
+    safe = jnp.where(valid, knn_idx, cap)
+
+    feats = state.geo_feats[safe]  # [N,k,F]
+    feats = jnp.where(valid[..., None], feats, 0.0)
+    nb_pos = state.positions[safe]  # [N,k,3]
+    vecs = points[:, None, :] - nb_pos
+    vecs = jnp.where(valid[..., None], vecs, 0.0)
+
+    # IDW over squared distance (model/neural_points.py:688-706)
+    eps = 1e-15
+    w = 1.0 / (knn_d2 + eps)
+    w = jnp.where(valid, w, 0.0)
+    w = jnp.where((nn_count == 0)[:, None], eps, w)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(valid, w, 0.0)
+
+    cert = state.certainty[safe]
+    cert = jnp.where(valid, cert, 0.0)
+    certainty_q = jnp.sum(cert * w, axis=1)
+
+    feat_vec = jnp.concatenate([feats, vecs], axis=-1)  # [N,k,F+3]
+    feature = jnp.sum(feat_vec * w[..., None], axis=1)  # [N,F+3]
+    return QueryResult(feature, w, knn_idx, nn_count, certainty_q)
+
+
+def accumulate_certainty(
+    state: NeuralMapState,
+    knn_idx: jnp.ndarray,
+    weights: jnp.ndarray,
+    query_ts=None,
+) -> NeuralMapState:
+    """Training-mode certainty accumulation + last-update-ts maxing
+    (model/neural_points.py:708-737) as deterministic scatter ops."""
+    cap = map_capacity(state)
+    valid = knn_idx >= 0
+    tgt = jnp.where(valid, knn_idx, cap).reshape(-1)
+    w = jnp.where(valid, weights, 0.0).reshape(-1)
+    certainty = state.certainty.at[tgt].add(w)
+    certainty = certainty.at[cap].set(0.0)
+    ts_update = state.ts_update
+    if query_ts is not None:
+        ts_rep = jnp.broadcast_to(
+            query_ts.astype(jnp.int32)[:, None], knn_idx.shape
+        ).reshape(-1)
+        ts_rep = jnp.where(valid.reshape(-1), ts_rep, 0)
+        ts_update = ts_update.at[tgt].max(ts_rep)
+        ts_update = ts_update.at[cap].set(0)
+    return state._replace(certainty=certainty, ts_update=ts_update)
+
+
+def query_certainty_max(
+    state: NeuralMapState,
+    points: jnp.ndarray,
+    resolution,
+    max_valid_dist2,
+) -> jnp.ndarray:
+    """Max neighbor certainty over the 1-cell neighborhood — the novelty
+    check used for adaptive iterations (model/neural_points.py:1032-1051,
+    utils/mapper.py:395-435 uses num_nei_cells=1, alpha=0)."""
+    nb = neighbor_offsets(1, 0.0)
+    d2, idx = neighborhood_search(
+        state, points, nb, resolution, max_valid_dist2, None, 0, 1e9, False
+    )
+    cap = map_capacity(state)
+    cert = state.certainty[jnp.where(idx >= 0, idx, cap)]
+    cert = jnp.where(idx >= 0, cert, 0.0)
+    return jnp.max(cert, axis=-1)
+
+
+# ------------------------------------------------------------------- prune
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("global_prune",))
+def prune_and_rehash(
+    state: NeuralMapState,
+    prune_certainty_thre,
+    travel_dist,
+    cur_ts,
+    diff_travel_dist_local,
+    resolution,
+    global_prune: bool = False,
+):
+    """Drop inactive low-certainty points and rebuild the hash
+    (model/neural_points.py:771-812 + 840-929) via an O(C) cumsum
+    compaction — no host roundtrip, runs entirely under jit."""
+    cap = map_capacity(state)
+    live = jnp.arange(cap + 1) < state.count
+    certain = state.certainty[: cap + 1] >= prune_certainty_thre
+    if global_prune:
+        keep = live & certain
+    else:
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_update])
+        inactive = dtd > diff_travel_dist_local
+        keep = live & ~(inactive & ~certain)
+
+    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, new_pos, cap)
+
+    def compact(arr, fill=0.0):
+        out = jnp.full_like(arr, fill)
+        out = out.at[slot].set(arr)
+        return out.at[cap].set(fill)
+
+    positions = compact(state.positions)
+    quats = compact(state.quats)
+    geo_feats = compact(state.geo_feats)
+    certainty = compact(state.certainty)
+    ts_create = compact(state.ts_create, 0)
+    ts_update = compact(state.ts_update, 0)
+    new_count = jnp.sum(keep.astype(jnp.int32))
+
+    # rebuild hash over surviving points
+    hsize = state.hash_table.shape[0]
+    g = grid_coords(positions, resolution)
+    h = voxel_hash(g, hsize)
+    live_new = jnp.arange(cap + 1) < new_count
+    hash_table = jnp.full((hsize,), -1, jnp.int32)
+    hash_table = hash_table.at[jnp.where(live_new, h, hsize)].set(
+        jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
+    )
+    return NeuralMapState(
+        positions=positions,
+        quats=quats,
+        geo_feats=geo_feats,
+        certainty=certainty,
+        ts_create=ts_create,
+        ts_update=ts_update,
+        count=new_count,
+        hash_table=hash_table,
+    )
+
+
+def memory_mb(state: NeuralMapState, feature_dim: int) -> float:
+    """Map memory accounting (model/neural_points.py:157-174)."""
+    n = int(state.count)
+    point_dim = feature_dim + 3 + 4
+    return n * point_dim * 4 / 1024 / 1024

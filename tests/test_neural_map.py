@@ -1,0 +1,209 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clid_slam_tpu.models import neural_map as nm
+from clid_slam_tpu.ops.voxel import neighbor_offsets
+
+RES = 0.5
+CAP = 1 << 12
+HASH = 1 << 14
+F = 8
+
+
+def make_map():
+    return nm.init_map(CAP, HASH, F)
+
+
+def insert(state, pts, ts=0, travel=None):
+    n = pts.shape[0]
+    if travel is None:
+        travel = jnp.zeros((16,), jnp.float32)
+    return nm.insert_points(
+        state,
+        jnp.asarray(pts, jnp.float32),
+        jnp.ones((n,), bool),
+        RES,
+        travel,
+        ts,
+        1e9,
+    )
+
+
+def test_insert_dedupes_by_voxel(rng):
+    pts = rng.uniform(-3, 3, size=(500, 3)).astype(np.float32)
+    state, ratio = insert(make_map(), pts)
+    n_vox = len(np.unique(np.floor(pts / RES).astype(int), axis=0))
+    # one neural point per occupied voxel (modulo rare hash collisions)
+    assert abs(int(state.count) - n_vox) <= 0.02 * n_vox
+    assert float(ratio) == 1.0  # first frame: everything is new
+
+
+def test_reinsert_adds_nothing(rng):
+    pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    c0 = int(state.count)
+    state2, ratio = insert(state, pts, ts=1)
+    assert int(state2.count) == c0
+    assert float(ratio) == 0.0
+
+
+def test_insert_new_region_adds(rng):
+    pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    c0 = int(state.count)
+    far = pts + 100.0
+    state2, ratio = insert(state, far, ts=1)
+    assert int(state2.count) >= 2 * c0 * 0.95
+    assert float(ratio) > 0.95
+
+
+def query(state, q, knn_k=6, num_nei_cells=2, alpha=0.5):
+    offs = neighbor_offsets(num_nei_cells, alpha)
+    mvd2 = 3.0 * ((num_nei_cells + 1) * RES) ** 2
+    return nm.query_feature(
+        state, jnp.asarray(q, jnp.float32), offs, RES, mvd2, knn_k
+    )
+
+
+def test_query_finds_neighbors(rng):
+    pts = rng.uniform(-2, 2, size=(200, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    res = query(state, pts[:50])
+    assert (np.asarray(res.nn_count) > 0).all()
+    # first neighbor of a map point queried at itself is itself: weight ~ 1
+    w = np.asarray(res.weights)
+    assert (w.sum(-1) > 0.99).all()
+
+
+def test_query_empty_region():
+    pts = np.zeros((10, 3), dtype=np.float32)
+    state, _ = insert(make_map(), pts)
+    res = query(state, np.full((5, 3), 50.0, np.float32))
+    assert (np.asarray(res.nn_count) == 0).all()
+    assert np.isfinite(np.asarray(res.feature)).all()
+
+
+def test_query_knn_matches_bruteforce(rng):
+    """kNN indices should match a brute-force k-nearest within the search
+    radius."""
+    pts = rng.uniform(-2, 2, size=(150, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    map_pts = np.asarray(state.positions[: int(state.count)])
+    q = rng.uniform(-2, 2, size=(30, 3)).astype(np.float32)
+    res = query(state, q, knn_k=4)
+    knn_idx = np.asarray(res.knn_idx)
+    mvd2 = 3.0 * (3 * RES) ** 2
+    for i in range(len(q)):
+        d2 = np.sum((map_pts - q[i]) ** 2, axis=-1)
+        got = [j for j in knn_idx[i] if j >= 0]
+        if not got:
+            continue
+        want = np.argsort(d2)[: len(got)]
+        # allow ordering ties; require the sets of distances to agree
+        np.testing.assert_allclose(
+            np.sort(d2[got]), np.sort(d2[want]), atol=1e-5
+        )
+        assert (d2[got] <= mvd2 + 1e-5).all()
+
+
+def test_query_feature_is_idw(rng):
+    """Weighted feature must equal the IDW average of neighbor features."""
+    pts = rng.uniform(-1, 1, size=(60, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    # give each point a recognizable feature
+    n = int(state.count)
+    feats = np.zeros((CAP + 1, F), np.float32)
+    feats[:n] = rng.normal(size=(n, F))
+    state = state._replace(geo_feats=jnp.asarray(feats))
+    q = rng.uniform(-1, 1, size=(20, 3)).astype(np.float32)
+    res = query(state, q)
+    knn_idx = np.asarray(res.knn_idx)
+    w = np.asarray(res.weights)
+    out = np.asarray(res.feature)
+    for i in range(len(q)):
+        acc = np.zeros(F)
+        for k in range(knn_idx.shape[1]):
+            if knn_idx[i, k] >= 0:
+                acc += w[i, k] * feats[knn_idx[i, k]]
+        np.testing.assert_allclose(out[i, :F], acc, atol=1e-5)
+
+
+def test_travel_dist_window_filters(rng):
+    pts = rng.uniform(-2, 2, size=(100, 3)).astype(np.float32)
+    travel = jnp.asarray(np.arange(16, dtype=np.float32) * 100.0)
+    state = make_map()
+    state, _ = nm.insert_points(
+        state, jnp.asarray(pts), jnp.ones((100,), bool), RES, travel, 0, 150.0
+    )
+    offs = neighbor_offsets(2, 0.5)
+    mvd2 = 3.0 * (3 * RES) ** 2
+    # at ts=1 (travel 100) the window |dtd|<150 still sees ts=0 points
+    r1 = nm.query_feature(
+        state, jnp.asarray(pts[:10]), offs, RES, mvd2, 6, travel, 1, 150.0, True
+    )
+    assert (np.asarray(r1.nn_count) > 0).all()
+    # at ts=5 (travel 500) they are out of window
+    r5 = nm.query_feature(
+        state, jnp.asarray(pts[:10]), offs, RES, mvd2, 6, travel, 5, 150.0, True
+    )
+    assert (np.asarray(r5.nn_count) == 0).all()
+
+
+def test_certainty_accumulation(rng):
+    pts = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    res = query(state, pts[:20])
+    state2 = nm.accumulate_certainty(
+        state, res.knn_idx, res.weights, jnp.zeros((20,), jnp.int32)
+    )
+    assert float(jnp.sum(state2.certainty)) > 0
+    # total accumulated mass equals total weight mass
+    np.testing.assert_allclose(
+        float(jnp.sum(state2.certainty)), float(jnp.sum(res.weights)), atol=1e-4
+    )
+
+
+def test_prune_removes_uncertain(rng):
+    pts = rng.uniform(-2, 2, size=(100, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    n = int(state.count)
+    cert = np.zeros(CAP + 1, np.float32)
+    cert[: n // 2] = 10.0  # first half certain
+    state = state._replace(certainty=jnp.asarray(cert))
+    travel = jnp.zeros((16,), jnp.float32)
+    pruned = nm.prune_and_rehash(state, 3.0, travel, 0, 1e9, RES, True)
+    assert int(pruned.count) == n // 2
+    # survivors are still queryable
+    surv = np.asarray(pruned.positions[: int(pruned.count)])
+    res = query(pruned, surv[:10])
+    assert (np.asarray(res.nn_count) > 0).all()
+
+
+def test_query_gradients_flow(rng):
+    """d(feature)/d(geo_feats) and d/d(points) must both be nonzero."""
+    pts = rng.uniform(-1, 1, size=(40, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    n = int(state.count)
+    feats = np.zeros((CAP + 1, F), np.float32)
+    feats[:n] = rng.normal(size=(n, F))
+    state = state._replace(geo_feats=jnp.asarray(feats))
+    offs = neighbor_offsets(2, 0.5)
+    mvd2 = 3.0 * (3 * RES) ** 2
+    q = jnp.asarray(pts[:10] + 0.05)
+
+    def loss_feats(feats):
+        s = state._replace(geo_feats=feats)
+        r = nm.query_feature(s, q, offs, RES, mvd2, 6)
+        return jnp.sum(r.feature**2)
+
+    g = jax.grad(loss_feats)(state.geo_feats)
+    assert float(jnp.abs(g).sum()) > 0
+
+    def loss_pts(qq):
+        r = nm.query_feature(state, qq, offs, RES, mvd2, 6)
+        return jnp.sum(r.feature**2)
+
+    gq = jax.grad(loss_pts)(q)
+    assert np.isfinite(np.asarray(gq)).all()
+    assert float(jnp.abs(gq).sum()) > 0
