@@ -1,0 +1,146 @@
+"""Replay data pool: fixed-capacity ring of SDF training samples.
+
+Capabilities of the reference's pool logic (utils/mapper.py:84-97, 297-392,
+473-523): per-frame sample append, sliding-window radius filtering,
+capacity cap, and batch sampling that mixes "new-region" samples with
+history replay.
+
+TPU-native differences:
+- fixed arrays [P] with a contiguous live prefix [0, size); compaction is a
+  jitted O(P) cumsum scatter (the reference re-allocates with boolean
+  indexing every frame, utils/mapper.py:361-367);
+- when an append would overflow, the overflowing *new* samples are dropped
+  (the reference instead discards random old samples, utils/mapper.py:350-358;
+  with the window filter running each frame the pool rarely fills, and
+  dropping new keeps the op deterministic and allocation-free);
+- "new-region" sample indices live in a fixed side buffer (new_buf,
+  new_count) rebuilt each frame, mirroring utils/mapper.py:429-441.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ReplayPool(NamedTuple):
+    coords: jnp.ndarray  # [P,3] world-frame sample coords
+    sdf: jnp.ndarray  # [P]
+    weight: jnp.ndarray  # [P]
+    ts: jnp.ndarray  # [P] i32 frame id
+    size: jnp.ndarray  # scalar i32, live prefix length
+    new_buf: jnp.ndarray  # [B] i32 indices of new-region samples
+    new_count: jnp.ndarray  # scalar i32
+
+
+def init_pool(capacity: int, new_buf_size: int) -> ReplayPool:
+    return ReplayPool(
+        coords=jnp.zeros((capacity, 3), jnp.float32),
+        sdf=jnp.zeros((capacity,), jnp.float32),
+        weight=jnp.zeros((capacity,), jnp.float32),
+        ts=jnp.zeros((capacity,), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        new_buf=jnp.zeros((new_buf_size,), jnp.int32),
+        new_count=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def filter_pool(
+    pool: ReplayPool, origin: jnp.ndarray, window_radius
+) -> ReplayPool:
+    """Drop samples outside the sliding window and compact
+    (utils/mapper.py:338-367). Invalidates new_buf (callers re-append and
+    re-compute novelty afterwards, as process_frame does)."""
+    p = pool.coords.shape[0]
+    live = jnp.arange(p) < pool.size
+    d2 = jnp.sum((pool.coords - origin) ** 2, axis=-1)
+    keep = live & (d2 < window_radius * window_radius)
+    new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, new_idx, p)  # losers dropped by the scatter
+
+    def compact(arr):
+        out = jnp.zeros_like(arr)
+        return out.at[slot].set(arr, mode="drop")
+
+    n = jnp.sum(keep.astype(jnp.int32))
+    return ReplayPool(
+        coords=compact(pool.coords),
+        sdf=compact(pool.sdf),
+        weight=compact(pool.weight),
+        ts=compact(pool.ts),
+        size=n,
+        new_buf=jnp.zeros_like(pool.new_buf),
+        new_count=jnp.zeros_like(pool.new_count),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def append_samples(
+    pool: ReplayPool,
+    coords: jnp.ndarray,  # [M,3] world frame
+    sdf: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: jnp.ndarray,
+    frame_id,
+    is_new: jnp.ndarray,  # [M] bool novelty flags (certainty+label gated)
+) -> ReplayPool:
+    p = pool.coords.shape[0]
+    offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dst = pool.size + offs
+    write = mask & (dst < p)
+    # losers get out-of-bounds index p and are dropped by the scatter
+    slot = jnp.where(write, dst, p)
+
+    coords_arr = pool.coords.at[slot].set(coords, mode="drop")
+    sdf_arr = pool.sdf.at[slot].set(sdf, mode="drop")
+    weight_arr = pool.weight.at[slot].set(weight, mode="drop")
+    ts_arr = pool.ts.at[slot].set(jnp.asarray(frame_id, jnp.int32), mode="drop")
+    n_added = jnp.sum(write.astype(jnp.int32))
+
+    # new-region index side buffer
+    nb = pool.new_buf.shape[0]
+    new_flag = write & is_new
+    noffs = jnp.cumsum(new_flag.astype(jnp.int32)) - 1
+    nslot = jnp.where(new_flag & (noffs < nb), noffs, nb)
+    new_buf = jnp.zeros_like(pool.new_buf)
+    new_buf = new_buf.at[nslot].set(dst.astype(jnp.int32), mode="drop")
+    new_count = jnp.minimum(jnp.sum(new_flag.astype(jnp.int32)), nb)
+
+    return ReplayPool(
+        coords=coords_arr,
+        sdf=sdf_arr,
+        weight=weight_arr,
+        ts=ts_arr,
+        size=pool.size + n_added,
+        new_buf=new_buf,
+        new_count=new_count,
+    )
+
+
+def sample_batch_indices(
+    pool: ReplayPool, key: jax.Array, bs: int, bs_new: int
+) -> jnp.ndarray:
+    """Mixed replay batch: bs_new indices from the new-region buffer (when
+    available) + the rest uniform over the pool (utils/mapper.py:473-500)."""
+    k1, k2 = jax.random.split(key)
+    hi = jnp.maximum(pool.size, 1)
+    idx_hist = jax.random.randint(k1, (bs,), 0, hi)
+    if bs_new > 0:
+        n_new = jnp.maximum(pool.new_count, 1)
+        pick = jax.random.randint(k2, (bs_new,), 0, n_new)
+        idx_new = pool.new_buf[pick]
+        # only take the new-mix when new samples exist
+        use_new = (pool.new_count > 0) & (
+            jnp.arange(bs) >= (bs - bs_new)
+        )
+        idx = jnp.where(
+            use_new,
+            jnp.concatenate([jnp.zeros(bs - bs_new, jnp.int32), idx_new]),
+            idx_hist,
+        )
+        return idx
+    return idx_hist

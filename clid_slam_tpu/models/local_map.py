@@ -1,0 +1,152 @@
+"""Raw-point local map + region-specific SDF label estimation.
+
+The CLID-SLAM novelty: a second, non-neural voxel-hashed point map at a
+finer resolution supplies SDF training labels — point-to-plane distance
+where a local 4-NN plane fit succeeds, 1-NN distance otherwise
+(model/local_point_cloud_map.py:11-201).
+
+TPU-native design mirrors models/neural_map.py: fixed-capacity position
+slab with a sentinel row, power-of-two hash table, masked static shapes.
+``update_local_map`` fuses the reference's insert + radius-crop + rehash
+(model/local_point_cloud_map.py:40-72) into one jitted O(C) pass using a
+cumsum compaction instead of boolean fancy-indexing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.plane_fit import fit_plane_knn
+from ..ops.voxel import (
+    grid_coords,
+    neighbor_offsets,
+    voxel_down_sample_mask,
+    voxel_hash,
+)
+
+# 7-cell probe: num_nei_cells=1, alpha=0.2 (model/local_point_cloud_map.py:74-88)
+LOCAL_NB_OFFSETS = neighbor_offsets(1, 0.2)
+
+
+def local_max_valid_range(resolution: float) -> float:
+    """model/local_point_cloud_map.py:89."""
+    return 1.732 * 2.0 * resolution
+
+
+class LocalMapState(NamedTuple):
+    positions: jnp.ndarray  # [C+1, 3] f32, sentinel last row
+    count: jnp.ndarray  # scalar i32
+    hash_table: jnp.ndarray  # [H] i32, -1 empty
+
+
+def init_local_map(capacity: int, hash_size: int) -> LocalMapState:
+    return LocalMapState(
+        positions=jnp.zeros((capacity + 1, 3), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+        hash_table=jnp.full((hash_size,), -1, jnp.int32),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def update_local_map(
+    state: LocalMapState,
+    sensor_position: jnp.ndarray,  # [3]
+    points: jnp.ndarray,  # [M,3] world frame
+    mask: jnp.ndarray,  # [M]
+    resolution,
+    map_size,
+) -> LocalMapState:
+    """Insert new surface points (only into empty voxels, matching
+    model/local_point_cloud_map.py:40-56), then radius-crop to ``map_size``
+    around the sensor and rebuild the hash (:58-72)."""
+    cap = state.positions.shape[0] - 1
+    hsize = state.hash_table.shape[0]
+
+    mask = voxel_down_sample_mask(points, mask, resolution, hsize)
+    g = grid_coords(points, resolution)
+    h = voxel_hash(g, hsize)
+    empty = state.hash_table[h] == -1
+    insert = mask & empty
+
+    offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
+    new_idx = state.count + offs
+    insert = insert & (new_idx < cap)
+    slot = jnp.where(insert, new_idx, cap)
+    positions = state.positions.at[slot].set(points)
+    positions = positions.at[cap].set(0.0)
+    count = jnp.minimum(state.count + jnp.sum(insert.astype(jnp.int32)), cap)
+
+    # radius crop + compaction + rehash (one O(C) pass)
+    live = jnp.arange(cap + 1) < count
+    d = jnp.linalg.norm(positions - sensor_position, axis=-1)
+    keep = live & (d < map_size)
+    new_pos_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot2 = jnp.where(keep, new_pos_idx, cap)
+    compacted = jnp.zeros_like(positions)
+    compacted = compacted.at[slot2].set(positions)
+    compacted = compacted.at[cap].set(0.0)
+    new_count = jnp.sum(keep.astype(jnp.int32))
+
+    g2 = grid_coords(compacted, resolution)
+    h2 = voxel_hash(g2, hsize)
+    live2 = jnp.arange(cap + 1) < new_count
+    hash_table = jnp.full((hsize,), -1, jnp.int32)
+    hash_table = hash_table.at[jnp.where(live2, h2, hsize)].set(
+        jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
+    )
+    return LocalMapState(compacted, new_count, hash_table)
+
+
+def region_specific_sdf(
+    state: LocalMapState,
+    points: jnp.ndarray,  # [N,3] world frame
+    resolution,
+    eta_threshold: float = 0.2,
+    residual_threshold: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Region-specific |SDF| labels (model/local_point_cloud_map.py:98-152).
+
+    For each query: probe the 7-cell neighborhood, take the 4 nearest raw
+    map points; where a valid plane fits (eta + residual gates), the label
+    is point-to-plane distance, else the 1-NN distance. Returns
+    (sdf_abs [N], surface_mask [N]) where surface_mask = "has at least one
+    neighbor in range".
+    """
+    cap = state.positions.shape[0] - 1
+    hsize = state.hash_table.shape[0]
+    maxr = local_max_valid_range(resolution)
+
+    g = grid_coords(points, resolution)
+    cells = g[:, None, :] + LOCAL_NB_OFFSETS[None, :, :]
+    h = voxel_hash(cells, hsize)
+    idx = state.hash_table[h]  # [N,7]
+    safe = jnp.where(idx >= 0, idx, cap)
+    nb = state.positions[safe]  # [N,7,3]
+    dist = jnp.linalg.norm(nb - points[:, None, :], axis=-1)
+    dist = jnp.where(idx >= 0, dist, maxr)
+
+    # 4 nearest (with duplicate-bucket suppression as in neural_map)
+    neg, sel = jax.lax.top_k(-dist, 4)
+    knn_dist = -neg  # [N,4] ascending
+    knn_idx = jnp.take_along_axis(idx, sel, axis=1)
+    dup = (knn_idx[:, :, None] == knn_idx[:, None, :]) & (
+        jnp.tri(4, 4, -1, dtype=bool)[None]
+    )
+    dup_any = jnp.any(dup, axis=-1) & (knn_idx >= 0)
+    knn_dist = jnp.where(dup_any, maxr, knn_dist)
+    knn_pts = jnp.take_along_axis(nb, sel[..., None], axis=1)  # [N,4,3]
+
+    valid_fit = knn_dist[:, 3] < maxr  # all four neighbors real
+    normal, constant, fit_success = fit_plane_knn(
+        knn_pts, eta_threshold, residual_threshold
+    )
+    fit_success = fit_success & valid_fit
+
+    plane_dist = jnp.abs(jnp.sum(normal * points, axis=-1) + constant)
+    sdf_abs = jnp.where(fit_success, plane_dist, knn_dist[:, 0])
+    surface_mask = knn_dist[:, 0] < maxr
+    return sdf_abs, surface_mask
