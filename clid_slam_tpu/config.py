@@ -259,6 +259,7 @@ class Config:
     @staticmethod
     def from_dict(args: dict) -> "Config":
         c = Config()
+        c.run_name = ""  # recompute from the loaded name in _derive
         s = args.get("setting", {}) or {}
         c.name = s.get("name", c.name)
         c.output_root = s.get("output_root", c.output_root)

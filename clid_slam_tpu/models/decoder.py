@@ -69,6 +69,10 @@ def mlp_forward(
     bf16: bool = False,
 ) -> jnp.ndarray:
     """[..., D] -> [..., out_dim]."""
+    # full f32 accumulation: TPU truncates "f32" matmuls to bf16 passes by
+    # default, which is enough to push SDF gradients across the tracker's
+    # grad-norm validity gates — force highest unless bf16 mode is explicit
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
     h = x
     if bf16:
         h = h.astype(jnp.bfloat16)
@@ -76,14 +80,17 @@ def mlp_forward(
         if bf16:
             w = w.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32, precision=prec) + b
         h = jax.nn.leaky_relu(h) if leaky else jax.nn.relu(h)
         if bf16:
             h = h.astype(jnp.bfloat16)
     w_out, b_out = params.w_out, params.b_out
     if bf16:
         w_out = w_out.astype(jnp.bfloat16)
-    out = jnp.dot(h, w_out, preferred_element_type=jnp.float32) + b_out
+    out = (
+        jnp.dot(h, w_out, preferred_element_type=jnp.float32, precision=prec)
+        + b_out
+    )
     return out.astype(jnp.float32)
 
 

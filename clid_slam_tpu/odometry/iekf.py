@@ -319,8 +319,9 @@ def make_h_reduce_fn(
         w_res = 0.4 / (0.4 + sdf_pred**2)
         r_inv = 1000.0 * w_grad * w_res * vf
 
-        S6 = jnp.einsum("n,ni,nj->ij", r_inv, H, H)
-        b6 = jnp.einsum("n,ni,n->i", r_inv, H, sdf_pred)
+        hp = jax.lax.Precision.HIGHEST  # f32-exact reductions on TPU
+        S6 = jnp.einsum("n,ni,nj->ij", r_inv, H, H, precision=hp)
+        b6 = jnp.einsum("n,ni,n->i", r_inv, H, sdf_pred, precision=hp)
         return S6, b6, jnp.sum(vf), jnp.sum(mask.astype(jnp.float32))
 
     return h_reduce

@@ -1,0 +1,532 @@
+"""SLAM orchestration: the per-frame loop wiring every subsystem together.
+
+Equivalent of the reference's slam.py:43-473 main loop:
+read → preprocess (+IMU propagate) → IESEKF update → map prep (local map,
+sampling, neural point insertion, replay pool) → map optimization →
+optional meshing/SDF slice → final results/artifacts.
+
+The host orchestrates; every heavy stage is one (or few) jitted calls with
+static shapes, so a steady-state frame runs a fixed set of XLA executables:
+  h_reduce xK (tracking iterations) · update_local_map · sample_rays ·
+  insert_points · filter/append pool · novelty · mapping (whole Adam loop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..mapping import mapper as mp
+from ..mapping import pool as pl
+from ..mapping.sampler import sample_rays
+from ..mesher import Mesher
+from ..models import decoder as dec
+from ..models import local_map as lm
+from ..models import neural_map as nm
+from ..odometry import iekf
+from ..ops.voxel import neighbor_offsets
+from ..utils import io
+from ..utils.transforms import transform_points
+from .dataset import SLAMDataset
+
+
+@dataclass
+class FrameStats:
+    frame_id: int = 0
+    pose: np.ndarray = field(default_factory=lambda: np.eye(4))
+    tracking_ok: bool = True
+    new_point_ratio: float = 0.0
+    sdf_loss: float = 0.0
+    eik_loss: float = 0.0
+    iters: int = 0
+    timings: dict = field(default_factory=dict)
+
+
+class SlamSystem:
+    def __init__(self, cfg: Config, total_frames: int = 0):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self.nb_offs = neighbor_offsets(cfg.num_nei_cells, cfg.search_alpha)
+        self.max_valid_dist2 = (
+            3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
+        )
+
+        self.map_state = nm.init_map(
+            cfg.map_capacity, cfg.map_hash_size, cfg.feature_dim
+        )
+        self.local_map = lm.init_local_map(
+            cfg.local_map_capacity, cfg.local_map_hash_size
+        )
+        new_buf = cfg.max_scan_points * cfg.all_sample_n
+        self.pool = pl.init_pool(cfg.pool_capacity, new_buf)
+        self.key, k = jax.random.split(self.key)
+        self.mlp = dec.init_mlp(
+            k,
+            cfg.feature_dim + 3,
+            cfg.geo_mlp_hidden_dim,
+            cfg.geo_mlp_level,
+            1,
+            cfg.mlp_bias_on,
+        )
+        if cfg.load_model and cfg.model_path and os.path.isfile(cfg.model_path):
+            self.load_decoder(cfg.model_path)
+
+        self.mapping_fn = mp.make_mapping_fn(
+            feature_dim=cfg.feature_dim,
+            knn_k=cfg.query_nn_k,
+            nb_offs=self.nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=self.max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            sigma=cfg.sdf_scale,
+            bs=cfg.bs,
+            bs_new=cfg.bs_new_sample,
+            gradient_decimation=cfg.gradient_decimation,
+            num_grad_eps=cfg.num_grad_eps,
+            weight_e=cfg.weight_e,
+            loss_weight_on=cfg.loss_weight_on,
+            lr=cfg.lr,
+            adam_eps=cfg.adam_eps,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+        )
+        self.novelty_fn = mp.make_novelty_fn(
+            resolution=cfg.voxel_size_m,
+            new_certainty_thre=cfg.new_certainty_thre,
+            surface_sample_range_m=cfg.surface_sample_range_m,
+        )
+        self.h_reduce_core = iekf.make_h_reduce_fn(
+            knn_k=cfg.query_nn_k,
+            nb_offs=self.nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=self.max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            min_grad_norm=cfg.reg_min_grad_norm,
+            max_grad_norm=cfg.reg_max_grad_norm,
+            min_nn_count=cfg.track_mask_query_nn_k,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+        )
+        self.tracker = iekf.IEKF(
+            iekf.IEKFConfig(
+                measurement_noise_covariance=cfg.measurement_noise_covariance,
+                bias_noise_covariance=cfg.bias_noise_covariance,
+                max_iteration=cfg.reg_iter_n,
+                term_thre_deg=cfg.reg_term_thre_deg,
+                term_thre_m=cfg.reg_term_thre_m,
+            ),
+            init_bg=cfg.init_bg,
+            init_ba=cfg.init_ba,
+            init_grav=cfg.init_gravity,
+        )
+        if total_frames == 0:
+            total_frames = 1024
+        self.dataset = SLAMDataset(
+            cfg, tracker=self.tracker, min_frames=total_frames
+        )
+        total_frames = max(self.dataset.total_pc_count, total_frames)
+        self.total_frames = total_frames
+        self.travel_dist_dev = jnp.zeros((total_frames,), jnp.float32)
+        self.mesher = Mesher(
+            knn_k=cfg.query_nn_k,
+            nb_offs=self.nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=self.max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            mesh_min_nn=cfg.mesh_min_nn,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+        )
+        self.adaptive_iter_offset = 0
+        self.stats: list = []
+
+    # --------------------------------------------------------------- track
+    def _track(self, frame_id: int) -> bool:
+        d = self.dataset
+        window = self.cfg.diff_travel_dist_local
+
+        def h_reduce(pts, mask, R, t):
+            return self.h_reduce_core(
+                self.map_state,
+                self.mlp,
+                pts,
+                mask,
+                R,
+                t,
+                self.travel_dist_dev,
+                frame_id,
+                window,
+            )
+
+        pose, ok = self.tracker.update_iterated(
+            h_reduce, d.cur_source_points, d.cur_source_mask
+        )
+        d.lose_track = not ok
+        d.update_odom_pose(np.asarray(pose, np.float64))
+        return ok
+
+    # ------------------------------------------------------------ map prep
+    def _map_prep(self, frame_id: int, pose: np.ndarray) -> float:
+        cfg = self.cfg
+        d = self.dataset
+        pose_j = jnp.asarray(pose, jnp.float32)
+        origin = pose_j[:3, 3]
+
+        world_pts = transform_points(d.cur_points, pose_j)
+        self.local_map = lm.update_local_map(
+            self.local_map,
+            origin,
+            world_pts,
+            d.cur_mask,
+            cfg.local_voxel_size_m,
+            cfg.local_map_size,
+        )
+
+        self.key, k = jax.random.split(self.key)
+        batch = sample_rays(
+            k,
+            d.cur_points,
+            d.cur_mask,
+            pose_j,
+            self.local_map,
+            cfg.local_voxel_size_m,
+            surface_sample_range_m=cfg.surface_sample_range_m,
+            surface_sample_n=cfg.surface_sample_n,
+            free_front_n=cfg.free_front_n,
+            free_behind_n=cfg.free_behind_n,
+            free_sample_begin_ratio=cfg.free_sample_begin_ratio,
+            free_sample_end_dist_m=cfg.free_sample_end_dist_m,
+            max_range=cfg.max_range,
+            dist_weight_on=cfg.dist_weight_on,
+            dist_weight_scale=cfg.dist_weight_scale,
+        )
+        coords_global = transform_points(batch.coords, pose_j)
+
+        # neural point insertion from near-surface samples
+        # (utils/mapper.py:259-283)
+        if cfg.from_sample_points:
+            upd_sel = batch.mask & (
+                jnp.abs(batch.sdf_label)
+                < cfg.surface_sample_range_m * cfg.map_surface_ratio
+            )
+            upd_pts = coords_global
+        else:
+            upd_sel = d.cur_mask
+            upd_pts = world_pts
+        self.map_state, new_ratio = nm.insert_points(
+            self.map_state,
+            upd_pts,
+            upd_sel,
+            cfg.voxel_size_m,
+            self.travel_dist_dev,
+            frame_id,
+            cfg.diff_travel_dist_local,
+        )
+
+        # prune + rehash cadence (utils/mapper.py:274-278)
+        if cfg.prune_map_on and (frame_id + 1) % cfg.prune_freq_frame == 0:
+            self.map_state = nm.prune_and_rehash(
+                self.map_state,
+                cfg.max_prune_certainty,
+                self.travel_dist_dev,
+                frame_id,
+                cfg.diff_travel_dist_local,
+                cfg.voxel_size_m,
+            )
+
+        # replay pool: window filter then append with novelty flags
+        if (frame_id + 1) % cfg.pool_filter_freq == 0:
+            self.pool = pl.filter_pool(self.pool, origin, cfg.window_radius)
+        if cfg.bs_new_sample > 0:
+            is_new = self.novelty_fn(
+                self.map_state, coords_global, batch.sdf_label, batch.mask
+            )
+        else:
+            is_new = jnp.zeros_like(batch.mask)
+        self.pool = pl.append_samples(
+            self.pool,
+            coords_global,
+            batch.sdf_label,
+            batch.weight,
+            batch.mask,
+            frame_id,
+            is_new,
+        )
+
+        # adaptive iteration offset (utils/mapper.py:446-459)
+        self.adaptive_iter_offset = 0
+        if cfg.adaptive_iters and cfg.bs_new_sample > 0:
+            cur_count = max(int(jnp.sum(batch.mask)), 1)
+            new_obs_ratio = float(self.pool.new_count) / cur_count
+            if new_obs_ratio < cfg.new_sample_ratio_less:
+                self.adaptive_iter_offset = -5
+            elif new_obs_ratio > cfg.new_sample_ratio_more:
+                self.adaptive_iter_offset = 5
+                if (
+                    frame_id > cfg.freeze_after_frame
+                    and new_obs_ratio > cfg.new_sample_ratio_restart
+                ):
+                    self.adaptive_iter_offset = 10
+        return float(new_ratio)
+
+    # ------------------------------------------------------------- mapping
+    def _map_opt(self, frame_id: int) -> tuple:
+        cfg = self.cfg
+        d = self.dataset
+        cur_iters = (
+            cfg.iters * cfg.init_iter_ratio if frame_id == 0 else cfg.iters
+        )
+        if d.stop_status:
+            cur_iters = max(1, cur_iters - 10)
+        cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
+        mlp_scale = 0.0 if frame_id >= cfg.freeze_after_frame else 1.0
+        self.key, k = jax.random.split(self.key)
+        self.map_state, self.mlp, losses = self.mapping_fn(
+            self.map_state,
+            self.mlp,
+            self.pool,
+            self.travel_dist_dev,
+            frame_id,
+            cfg.diff_travel_dist_local,
+            k,
+            cur_iters,
+            mlp_scale,
+        )
+        losses = np.asarray(losses)
+        return float(losses[0]), float(losses[1]), cur_iters
+
+    # --------------------------------------------------------------- frame
+    def process_frame(
+        self,
+        frame_id: int,
+        points: Optional[np.ndarray] = None,
+        imu_window: Optional[np.ndarray] = None,
+        point_ts=None,
+    ) -> FrameStats:
+        cfg = self.cfg
+        d = self.dataset
+        st = FrameStats(frame_id=frame_id)
+        t0 = time.perf_counter()
+
+        if points is not None:
+            d.read_frame_arrays(points, point_ts)
+            if imu_window is None:
+                imu_window = None
+        else:
+            d.read_frame(frame_id)
+            imu_window = d.read_imu_window(frame_id)
+
+        if not d.preprocess_frame(imu_window):
+            d.processed_frame += 1
+            return st
+        jax.block_until_ready(d.cur_mask)
+        t1 = time.perf_counter()
+
+        if frame_id > 0 and cfg.track_on:
+            st.tracking_ok = self._track(frame_id)
+        else:
+            # first frame: the map frame is anchored to the tracker's state
+            # (gt[0] if provided and not first_frame_ref, else wherever the
+            # filter was initialized — usually identity)
+            if cfg.track_on:
+                if d.gt_pose_provided and not cfg.first_frame_ref:
+                    self.tracker.x.rot = d.gt_poses[0][:3, :3].copy()
+                    self.tracker.x.pos = d.gt_poses[0][:3, 3].copy()
+                d.cur_pose_ref = self.tracker.x.pose_matrix()
+                d.last_pose_ref = d.cur_pose_ref
+            elif d.gt_pose_provided:
+                d.cur_pose_ref = d.gt_poses[0].copy()
+                d.last_pose_ref = d.cur_pose_ref
+            d.odom_poses[frame_id] = d.cur_pose_ref
+        st.pose = d.cur_pose_ref.copy()
+        self.travel_dist_dev = self.travel_dist_dev.at[frame_id].set(
+            float(d.travel_dist[frame_id])
+        )
+        t2 = time.perf_counter()
+
+        valid_mapping = (not d.lose_track) and (not d.stop_status)
+        if valid_mapping:
+            st.new_point_ratio = self._map_prep(frame_id, d.cur_pose_ref)
+        jax.block_until_ready(self.map_state.count)
+        t3 = time.perf_counter()
+
+        if frame_id % cfg.mapping_freq_frame == 0:
+            st.sdf_loss, st.eik_loss, st.iters = self._map_opt(frame_id)
+        t4 = time.perf_counter()
+
+        st.timings = {
+            "preprocess": t1 - t0,
+            "tracking": t2 - t1,
+            "map_prep": t3 - t2,
+            "map_opt": t4 - t3,
+            "mesh": 0.0,
+        }
+        d.time_table.append(
+            [t1 - t0, t2 - t1, t3 - t2, t4 - t3, 0.0]
+        )
+        d.processed_frame += 1
+        self.stats.append(st)
+        return st
+
+    # ------------------------------------------------------------ finalize
+    def finalize(self, run_path: str) -> dict:
+        cfg = self.cfg
+        os.makedirs(run_path, exist_ok=True)
+        result = self.dataset.write_results(run_path)
+        n = int(self.map_state.count)
+        result["neural_points"] = n
+        result["map_memory_mb"] = nm.memory_mb(self.map_state, cfg.feature_dim)
+        if cfg.save_map:
+            self.save_checkpoint(os.path.join(run_path, "map_checkpoint.npz"))
+            pts = np.asarray(self.map_state.positions[:n])
+            io.write_ply(os.path.join(run_path, "neural_points.ply"), pts)
+        if cfg.save_mesh and n > 0:
+            pts = np.asarray(self.map_state.positions[:n])
+            v, t = self.mesher.recon_aabb_mesh(
+                self.map_state,
+                self.mlp,
+                pts.min(0),
+                pts.max(0),
+                cfg.mc_res_m,
+                cfg.pad_voxel,
+                cfg.min_cluster_vertices,
+            )
+            io.write_ply_mesh(os.path.join(run_path, "mesh.ply"), v, t)
+            result["mesh_vertices"] = len(v)
+        with open(os.path.join(run_path, "metrics.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
+    # ------------------------------------------------- checkpoint / resume
+    def save_checkpoint(self, path: str):
+        """Full mid-sequence state (beyond the reference's end-only
+        pin_map.pth: utils/tools.py:347-367) — map, decoder, pool, filter,
+        poses; enables resume."""
+        ms = self.map_state
+        np.savez_compressed(
+            path,
+            voxel_size_m=self.cfg.voxel_size_m,
+            sdf_scale=self.cfg.sdf_scale,
+            num_nei_cells=self.cfg.num_nei_cells,
+            search_alpha=self.cfg.search_alpha,
+            query_nn_k=self.cfg.query_nn_k,
+            positions=np.asarray(ms.positions),
+            quats=np.asarray(ms.quats),
+            geo_feats=np.asarray(ms.geo_feats),
+            certainty=np.asarray(ms.certainty),
+            ts_create=np.asarray(ms.ts_create),
+            ts_update=np.asarray(ms.ts_update),
+            count=np.asarray(ms.count),
+            hash_table=np.asarray(ms.hash_table),
+            mlp_weights=np.asarray(self.mlp.weights[0]),
+            mlp_biases=np.asarray(self.mlp.biases[0]),
+            mlp_w_out=np.asarray(self.mlp.w_out),
+            mlp_b_out=np.asarray(self.mlp.b_out),
+            pool_coords=np.asarray(self.pool.coords),
+            pool_sdf=np.asarray(self.pool.sdf),
+            pool_weight=np.asarray(self.pool.weight),
+            pool_ts=np.asarray(self.pool.ts),
+            pool_size=np.asarray(self.pool.size),
+            iekf_rot=self.tracker.x.rot,
+            iekf_pos=self.tracker.x.pos,
+            iekf_vel=self.tracker.x.vel,
+            iekf_bg=self.tracker.x.bg,
+            iekf_ba=self.tracker.x.ba,
+            iekf_grav=self.tracker.x.grav,
+            iekf_P=self.tracker.P,
+            odom_poses=self.dataset.odom_poses,
+            travel_dist=self.dataset.travel_dist,
+            processed_frame=self.dataset.processed_frame,
+        )
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path)
+        self.map_state = nm.NeuralMapState(
+            positions=jnp.asarray(z["positions"]),
+            quats=jnp.asarray(z["quats"]),
+            geo_feats=jnp.asarray(z["geo_feats"]),
+            certainty=jnp.asarray(z["certainty"]),
+            ts_create=jnp.asarray(z["ts_create"]),
+            ts_update=jnp.asarray(z["ts_update"]),
+            count=jnp.asarray(z["count"]),
+            hash_table=jnp.asarray(z["hash_table"]),
+        )
+        self.mlp = dec.MLPParams(
+            weights=[jnp.asarray(z["mlp_weights"])],
+            biases=[jnp.asarray(z["mlp_biases"])],
+            w_out=jnp.asarray(z["mlp_w_out"]),
+            b_out=jnp.asarray(z["mlp_b_out"]),
+        )
+        self.pool = self.pool._replace(
+            coords=jnp.asarray(z["pool_coords"]),
+            sdf=jnp.asarray(z["pool_sdf"]),
+            weight=jnp.asarray(z["pool_weight"]),
+            ts=jnp.asarray(z["pool_ts"]),
+            size=jnp.asarray(z["pool_size"]),
+        )
+        self.tracker.x = iekf.IEKFState(
+            rot=z["iekf_rot"],
+            pos=z["iekf_pos"],
+            vel=z["iekf_vel"],
+            bg=z["iekf_bg"],
+            ba=z["iekf_ba"],
+            grav=z["iekf_grav"],
+        )
+        self.tracker.P = z["iekf_P"]
+        n = int(z["processed_frame"])
+        self.dataset.odom_poses[: len(z["odom_poses"])] = z["odom_poses"]
+        self.dataset.travel_dist[: len(z["travel_dist"])] = z["travel_dist"]
+        self.dataset.processed_frame = n
+        if n > 0:
+            self.dataset.cur_pose_ref = z["odom_poses"][n - 1]
+            self.dataset.last_pose_ref = z["odom_poses"][n - 1]
+        td = np.zeros(self.total_frames, np.float32)
+        m = min(len(z["travel_dist"]), self.total_frames)
+        td[:m] = z["travel_dist"][:m]
+        self.travel_dist_dev = jnp.asarray(td)
+
+    def load_decoder(self, path: str):
+        z = np.load(path)
+        self.mlp = dec.MLPParams(
+            weights=[jnp.asarray(z["mlp_weights"])],
+            biases=[jnp.asarray(z["mlp_biases"])],
+            w_out=jnp.asarray(z["mlp_w_out"]),
+            b_out=jnp.asarray(z["mlp_b_out"]),
+        )
+
+
+def run_slam(config_path: str, dataset_name=None, sequence_name=None, seed=None):
+    """CLI entry mirroring slam.py:43-70."""
+    cfg = Config.load(config_path)
+    if seed is not None:
+        cfg.seed = int(seed)
+    system = SlamSystem(cfg)
+    n = system.dataset.total_pc_count
+    for frame_id in range(n):
+        st = system.process_frame(frame_id)
+        if not cfg.silence:
+            t = sum(st.timings.values())
+            print(
+                f"frame {frame_id}: {t*1e3:.1f} ms, loss {st.sdf_loss:.4f}, "
+                f"points {int(system.map_state.count)}"
+            )
+    run_path = os.path.join(
+        cfg.output_root, cfg.run_name or "run"
+    )
+    return system.finalize(run_path)
+
+
+if __name__ == "__main__":
+    import sys
+
+    run_slam(*sys.argv[1:])

@@ -1,0 +1,156 @@
+"""Synthetic LiDAR-inertial sequence generator for tests and benchmarks.
+
+Ray-casts an analytic world (cylinder room + floor/ceiling + pillar
+cylinders) from a smooth circular trajectory and synthesizes consistent
+IMU windows (accelerometer = Rᵀ(p̈ - g), gyroscope = body rates), in the
+same per-frame layout the reference's converter produces
+(dataset/converter/rosbag2dataset_parallel.py:44-76): one point cloud +
+one IMU CSV window per inter-frame interval.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+G = 9.81
+
+
+@dataclass
+class SyntheticWorld:
+    room_radius: float = 8.0
+    floor_z: float = -1.5
+    ceil_z: float = 2.5
+    pillars: List[Tuple[float, float, float]] = field(
+        default_factory=lambda: [(3.0, 2.0, 0.5), (-2.5, -3.0, 0.7)]
+    )  # (cx, cy, radius)
+
+    def raycast(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Distances along unit dirs [N,3] to the nearest surface."""
+        n = len(dirs)
+        t_best = np.full(n, np.inf)
+
+        # outer cylinder x²+y²=R² (from inside; take positive root)
+        ox, oy = origin[0], origin[1]
+        dx, dy = dirs[:, 0], dirs[:, 1]
+        a = dx * dx + dy * dy
+        b = 2 * (ox * dx + oy * dy)
+        c = ox * ox + oy * oy - self.room_radius**2
+        disc = b * b - 4 * a * c
+        valid = (disc > 0) & (a > 1e-12)
+        t = np.where(valid, (-b + np.sqrt(np.maximum(disc, 0))) / (2 * a + 1e-30), np.inf)
+        t = np.where(t > 1e-6, t, np.inf)
+        t_best = np.minimum(t_best, t)
+
+        # floor / ceiling planes
+        dz = dirs[:, 2]
+        for z0 in (self.floor_z, self.ceil_z):
+            tz = np.where(np.abs(dz) > 1e-9, (z0 - origin[2]) / dz, np.inf)
+            tz = np.where(tz > 1e-6, tz, np.inf)
+            t_best = np.minimum(t_best, tz)
+
+        # pillars (solid: take nearest positive root)
+        for cx, cy, r in self.pillars:
+            oxp, oyp = ox - cx, oy - cy
+            bp = 2 * (oxp * dx + oyp * dy)
+            cp = oxp * oxp + oyp * oyp - r * r
+            disc = bp * bp - 4 * a * cp
+            ok = (disc > 0) & (a > 1e-12)
+            sq = np.sqrt(np.maximum(disc, 0))
+            t1 = (-bp - sq) / (2 * a + 1e-30)
+            t1 = np.where(ok & (t1 > 1e-6), t1, np.inf)
+            # only count hits within the room height
+            zhit = origin[2] + t1 * dz
+            t1 = np.where(
+                (zhit > self.floor_z) & (zhit < self.ceil_z), t1, np.inf
+            )
+            t_best = np.minimum(t_best, t1)
+        return t_best
+
+
+def lidar_directions(n_azimuth: int = 128, n_elev: int = 16) -> np.ndarray:
+    az = np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)
+    el = np.linspace(np.deg2rad(-22.5), np.deg2rad(22.5), n_elev)
+    A, E = np.meshgrid(az, el, indexing="ij")
+    d = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1
+    )
+    return d.reshape(-1, 3)
+
+
+def circular_trajectory(
+    n_frames: int, radius: float = 3.0, period_frames: float = 200.0,
+    frame_dt: float = 0.1,
+):
+    """Pose per frame: moving on a circle, yaw tangent to motion.
+    Returns (poses [N,4,4], angular velocity [N,3] body, accel [N,3] body)."""
+    w = 2 * np.pi / (period_frames * frame_dt)  # rad/s
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    omegas = np.zeros((n_frames, 3))
+    accels = np.zeros((n_frames, 3))
+    for i in range(n_frames):
+        t = i * frame_dt
+        th = w * t
+        p = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
+        yaw = th + np.pi / 2  # tangent
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = p
+        # kinematics: p̈ = -w² p (centripetal), body rates = [0,0,w]
+        pdd = np.array([-(w**2) * p[0], -(w**2) * p[1], 0.0])
+        grav = np.array([0.0, 0.0, -G])
+        accels[i] = R.T @ (pdd - grav)
+        omegas[i] = np.array([0.0, 0.0, w])
+    return poses, omegas, accels
+
+
+@dataclass
+class SyntheticSequence:
+    poses: np.ndarray  # [N,4,4] ground truth
+    scans: list  # list of [M,3] float32, sensor frame
+    imu_windows: list  # list of [K,7] (dt, acc, gyro) per frame (None for 0)
+    world: SyntheticWorld
+
+
+def generate_sequence(
+    n_frames: int = 30,
+    n_azimuth: int = 128,
+    n_elev: int = 16,
+    frame_dt: float = 0.1,
+    imu_rate: int = 10,
+    noise_std: float = 0.0,
+    radius: float = 3.0,
+    period_frames: float = 200.0,
+    seed: int = 0,
+) -> SyntheticSequence:
+    rng = np.random.default_rng(seed)
+    world = SyntheticWorld()
+    poses, omegas, accels = circular_trajectory(
+        n_frames, radius, period_frames, frame_dt
+    )
+    dirs_body = lidar_directions(n_azimuth, n_elev)
+
+    scans = []
+    imu_windows = [None]
+    for i in range(n_frames):
+        R, p = poses[i, :3, :3], poses[i, :3, 3]
+        dirs_w = dirs_body @ R.T
+        t = world.raycast(p, dirs_w)
+        hit = np.isfinite(t) & (t < 60.0) & (t > 0.5)
+        pts_body = dirs_body[hit] * t[hit][:, None]
+        if noise_std > 0:
+            pts_body = pts_body + rng.normal(0, noise_std, pts_body.shape)
+        scans.append(pts_body.astype(np.float32))
+        if i > 0:
+            k = imu_rate
+            dt = frame_dt / k
+            rows = np.zeros((k, 7))
+            for j in range(k):
+                a = 0.5 * (accels[i - 1] + accels[i])
+                g = 0.5 * (omegas[i - 1] + omegas[i])
+                rows[j] = [dt, a[0], a[1], a[2], g[0], g[1], g[2]]
+            imu_windows.append(rows)
+    return SyntheticSequence(poses, scans, imu_windows, world)
