@@ -121,7 +121,11 @@ def make_mapping_fn(
             ],
             axis=-1,
         )  # [bd,3]
-        gn = jnp.linalg.norm(g, axis=-1)
+        # epsilon-safe norm: a sample with no map neighbors has all taps
+        # equal -> g = 0 exactly, and d‖g‖/dg = g/‖g‖ would be 0/0 (NaN
+        # poisoning the whole MLP gradient on TPU); 1e-20 keeps the
+        # backward finite without perturbing real gradient norms
+        gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-20)
         eik = jnp.sum(((gn - 1.0) ** 2) * vd) / jnp.clip(jnp.sum(vd), 1.0)
 
         loss = sdf_loss + weight_e * eik

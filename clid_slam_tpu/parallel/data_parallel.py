@@ -111,7 +111,8 @@ def make_dp_mapping_fn(
         g = jnp.stack(
             [(t[0] - t[1]), (t[2] - t[3]), (t[4] - t[5])], axis=-1
         ) / (2 * num_grad_eps)
-        gn = jnp.linalg.norm(g, axis=-1)
+        # epsilon-safe norm (see mapper.py: zero-neighbor taps give g = 0)
+        gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-20)
         eik = jnp.sum(((gn - 1.0) ** 2) * vd) / jnp.clip(jnp.sum(vd), 1.0)
         loss = sdf_loss + weight_e * eik
         aux = (

@@ -117,6 +117,21 @@ class SlamSystem:
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
         )
+        self.update_iterated_dev = iekf.make_update_iterated_fn(
+            knn_k=cfg.query_nn_k,
+            nb_offs=self.nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=self.max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            min_grad_norm=cfg.reg_min_grad_norm,
+            max_grad_norm=cfg.reg_max_grad_norm,
+            min_nn_count=cfg.track_mask_query_nn_k,
+            max_iteration=cfg.reg_iter_n,
+            term_thre_deg=cfg.reg_term_thre_deg,
+            term_thre_m=cfg.reg_term_thre_m,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+        )
         self.tracker = iekf.IEKF(
             iekf.IEKFConfig(
                 measurement_noise_covariance=cfg.measurement_noise_covariance,
@@ -152,27 +167,43 @@ class SlamSystem:
 
     # --------------------------------------------------------------- track
     def _track(self, frame_id: int) -> bool:
+        """One device call: the whole iterated IESEKF update
+        (vs up to reg_iter_n round trips for the host loop)."""
         d = self.dataset
         window = self.cfg.diff_travel_dist_local
-
-        def h_reduce(pts, mask, R, t):
-            return self.h_reduce_core(
-                self.map_state,
-                self.mlp,
-                pts,
-                mask,
-                R,
-                t,
-                self.travel_dist_dev,
-                frame_id,
-                window,
-            )
-
-        pose, ok = self.tracker.update_iterated(
-            h_reduce, d.cur_source_points, d.cur_source_mask
+        x = self.tracker.x
+        rest0 = np.concatenate([x.vel, x.bg, x.ba, x.grav])
+        rot, pos, rest, P, ok, n_iter = self.update_iterated_dev(
+            self.map_state,
+            self.mlp,
+            d.cur_source_points,
+            d.cur_source_mask,
+            jnp.asarray(x.rot, jnp.float32),
+            jnp.asarray(x.pos, jnp.float32),
+            jnp.asarray(rest0, jnp.float32),
+            jnp.asarray(self.tracker.P, jnp.float32),
+            self.travel_dist_dev,
+            frame_id,
+            window,
         )
+        rot = np.asarray(rot, np.float64)
+        # re-orthonormalize: f32 accumulation over iterations drifts the
+        # rotation slightly; project back to SO(3)
+        u, _, vt = np.linalg.svd(rot)
+        rot = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+        rest = np.asarray(rest, np.float64)
+        self.tracker.x = iekf.IEKFState(
+            rot=rot,
+            pos=np.asarray(pos, np.float64),
+            vel=rest[0:3],
+            bg=rest[3:6],
+            ba=rest[6:9],
+            grav=rest[9:12],
+        )
+        self.tracker.P = np.asarray(P, np.float64)
+        ok = bool(ok)
         d.lose_track = not ok
-        d.update_odom_pose(np.asarray(pose, np.float64))
+        d.update_odom_pose(self.tracker.x.pose_matrix())
         return ok
 
     # ------------------------------------------------------------ map prep
