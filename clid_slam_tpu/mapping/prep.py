@@ -1,0 +1,149 @@
+"""Fused per-frame map-preparation step: ONE jitted device call.
+
+Covers the reference Mapper.process_frame pipeline (utils/mapper.py:159-459)
+— local raw-map update, ray sampling with region-specific labels, neural
+point insertion from near-surface samples, replay-pool window filtering +
+append, and novelty flags for adaptive iteration — as a single XLA
+executable with donated map/pool buffers. The reference makes dozens of
+kernel launches here; a latency-sensitive odometry loop wants exactly one.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import local_map as lm
+from ..models import neural_map as nm
+from ..mapping import pool as pl
+from ..mapping.sampler import sample_rays
+from ..utils.transforms import transform_points
+
+
+class PrepResult(NamedTuple):
+    map_state: nm.NeuralMapState
+    local_map: lm.LocalMapState
+    pool: pl.ReplayPool
+    new_point_ratio: jnp.ndarray
+    new_sample_count: jnp.ndarray
+    cur_sample_count: jnp.ndarray
+
+
+def make_prep_fn(
+    *,
+    resolution: float,
+    local_resolution: float,
+    local_map_size: float,
+    window_radius: float,
+    surface_sample_range_m: float,
+    surface_sample_n: int,
+    free_front_n: int,
+    free_behind_n: int,
+    free_sample_begin_ratio: float,
+    free_sample_end_dist_m: float,
+    max_range: float,
+    dist_weight_on: bool,
+    dist_weight_scale: float,
+    map_surface_ratio: float,
+    from_sample_points: bool,
+    new_certainty_thre: float,
+    novelty_on: bool,
+    filter_pool_now: bool = True,
+):
+    one_cell_mvd2 = 3.0 * (2.0 * resolution) ** 2
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def prep(
+        map_state: nm.NeuralMapState,
+        local_map: lm.LocalMapState,
+        pool: pl.ReplayPool,
+        key,
+        points,  # [P,3] sensor/IMU frame
+        mask,  # [P]
+        pose,  # [4,4] f32
+        travel_dist,  # [T]
+        frame_id,
+        diff_travel_dist_local,
+    ) -> PrepResult:
+        origin = pose[:3, 3]
+        world_pts = transform_points(points, pose)
+
+        local_map = lm.update_local_map(
+            local_map, origin, world_pts, mask, local_resolution, local_map_size
+        )
+
+        batch = sample_rays(
+            key,
+            points,
+            mask,
+            pose,
+            local_map,
+            local_resolution,
+            surface_sample_range_m=surface_sample_range_m,
+            surface_sample_n=surface_sample_n,
+            free_front_n=free_front_n,
+            free_behind_n=free_behind_n,
+            free_sample_begin_ratio=free_sample_begin_ratio,
+            free_sample_end_dist_m=free_sample_end_dist_m,
+            max_range=max_range,
+            dist_weight_on=dist_weight_on,
+            dist_weight_scale=dist_weight_scale,
+        )
+        coords_global = transform_points(batch.coords, pose)
+
+        if from_sample_points:
+            upd_sel = batch.mask & (
+                jnp.abs(batch.sdf_label)
+                < surface_sample_range_m * map_surface_ratio
+            )
+            upd_pts = coords_global
+        else:
+            upd_sel = mask
+            upd_pts = world_pts
+        map_state, new_ratio = nm.insert_points(
+            map_state,
+            upd_pts,
+            upd_sel,
+            resolution,
+            travel_dist,
+            frame_id,
+            diff_travel_dist_local,
+        )
+
+        if filter_pool_now:
+            pool = pl.filter_pool(pool, origin, window_radius)
+
+        if novelty_on:
+            cert = nm.query_certainty_max(
+                map_state, coords_global, resolution, one_cell_mvd2
+            )
+            is_new = (
+                (cert < new_certainty_thre)
+                & (jnp.abs(batch.sdf_label) < surface_sample_range_m * 3.0)
+                & batch.mask
+            )
+        else:
+            is_new = jnp.zeros_like(batch.mask)
+
+        pool = pl.append_samples(
+            pool,
+            coords_global,
+            batch.sdf_label,
+            batch.weight,
+            batch.mask,
+            frame_id,
+            is_new,
+        )
+        return PrepResult(
+            map_state,
+            local_map,
+            pool,
+            new_ratio,
+            jnp.sum(is_new.astype(jnp.int32)),
+            jnp.sum(batch.mask.astype(jnp.int32)),
+        )
+
+    return prep

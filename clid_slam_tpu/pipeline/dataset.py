@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import Config
 from ..ops.voxel import voxel_down_sample_mask
-from ..utils import io, metrics
+from ..utils import io, metrics, plots
 from ..utils.transforms import crop_mask, deskew, transform_points
 
 
@@ -282,6 +282,15 @@ class SLAMDataset:
                 for name, col in zip(hdr.split(","), tt.T):
                     f.write(f"{name}: {col.mean()*1e3:.2f} ms\n")
                 f.write(f"total: {tt.sum(-1).mean()*1e3:.2f} ms\n")
+            plots.plot_timing_detail(
+                tt, os.path.join(run_path, "time_details.png")
+            )
+        if n > 2:
+            plots.plot_trajectory(
+                odom,
+                self.gt_poses[:n] if self.gt_pose_provided else None,
+                os.path.join(run_path, "trajectory_xy.png"),
+            )
         import json
 
         with open(os.path.join(run_path, "metrics.json"), "w") as f:

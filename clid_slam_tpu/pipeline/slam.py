@@ -27,6 +27,7 @@ import numpy as np
 from ..config import Config
 from ..mapping import mapper as mp
 from ..mapping import pool as pl
+from ..mapping import prep as prp
 from ..mapping.sampler import sample_rays
 from ..mesher import Mesher
 from ..models import decoder as dec
@@ -163,6 +164,7 @@ class SlamSystem:
             mlp_bf16=cfg.mlp_bf16,
         )
         self.adaptive_iter_offset = 0
+        self._prep_fns = {}
         self.stats: list = []
 
     # --------------------------------------------------------------- track
@@ -208,61 +210,51 @@ class SlamSystem:
 
     # ------------------------------------------------------------ map prep
     def _map_prep(self, frame_id: int, pose: np.ndarray) -> float:
+        """One fused device call (mapping/prep.py) + host adaptive-iters
+        bookkeeping (utils/mapper.py:446-459)."""
         cfg = self.cfg
         d = self.dataset
-        pose_j = jnp.asarray(pose, jnp.float32)
-        origin = pose_j[:3, 3]
-
-        world_pts = transform_points(d.cur_points, pose_j)
-        self.local_map = lm.update_local_map(
-            self.local_map,
-            origin,
-            world_pts,
-            d.cur_mask,
-            cfg.local_voxel_size_m,
-            cfg.local_map_size,
-        )
+        filter_now = (frame_id + 1) % cfg.pool_filter_freq == 0
+        prep = self._prep_fns.get(filter_now)
+        if prep is None:
+            prep = prp.make_prep_fn(
+                resolution=cfg.voxel_size_m,
+                local_resolution=cfg.local_voxel_size_m,
+                local_map_size=cfg.local_map_size,
+                window_radius=cfg.window_radius,
+                surface_sample_range_m=cfg.surface_sample_range_m,
+                surface_sample_n=cfg.surface_sample_n,
+                free_front_n=cfg.free_front_n,
+                free_behind_n=cfg.free_behind_n,
+                free_sample_begin_ratio=cfg.free_sample_begin_ratio,
+                free_sample_end_dist_m=cfg.free_sample_end_dist_m,
+                max_range=cfg.max_range,
+                dist_weight_on=cfg.dist_weight_on,
+                dist_weight_scale=cfg.dist_weight_scale,
+                map_surface_ratio=cfg.map_surface_ratio,
+                from_sample_points=cfg.from_sample_points,
+                new_certainty_thre=cfg.new_certainty_thre,
+                novelty_on=cfg.bs_new_sample > 0,
+                filter_pool_now=filter_now,
+            )
+            self._prep_fns[filter_now] = prep
 
         self.key, k = jax.random.split(self.key)
-        batch = sample_rays(
+        res = prep(
+            self.map_state,
+            self.local_map,
+            self.pool,
             k,
             d.cur_points,
             d.cur_mask,
-            pose_j,
-            self.local_map,
-            cfg.local_voxel_size_m,
-            surface_sample_range_m=cfg.surface_sample_range_m,
-            surface_sample_n=cfg.surface_sample_n,
-            free_front_n=cfg.free_front_n,
-            free_behind_n=cfg.free_behind_n,
-            free_sample_begin_ratio=cfg.free_sample_begin_ratio,
-            free_sample_end_dist_m=cfg.free_sample_end_dist_m,
-            max_range=cfg.max_range,
-            dist_weight_on=cfg.dist_weight_on,
-            dist_weight_scale=cfg.dist_weight_scale,
-        )
-        coords_global = transform_points(batch.coords, pose_j)
-
-        # neural point insertion from near-surface samples
-        # (utils/mapper.py:259-283)
-        if cfg.from_sample_points:
-            upd_sel = batch.mask & (
-                jnp.abs(batch.sdf_label)
-                < cfg.surface_sample_range_m * cfg.map_surface_ratio
-            )
-            upd_pts = coords_global
-        else:
-            upd_sel = d.cur_mask
-            upd_pts = world_pts
-        self.map_state, new_ratio = nm.insert_points(
-            self.map_state,
-            upd_pts,
-            upd_sel,
-            cfg.voxel_size_m,
+            jnp.asarray(pose, jnp.float32),
             self.travel_dist_dev,
             frame_id,
             cfg.diff_travel_dist_local,
         )
+        self.map_state = res.map_state
+        self.local_map = res.local_map
+        self.pool = res.pool
 
         # prune + rehash cadence (utils/mapper.py:274-278)
         if cfg.prune_map_on and (frame_id + 1) % cfg.prune_freq_frame == 0:
@@ -275,30 +267,11 @@ class SlamSystem:
                 cfg.voxel_size_m,
             )
 
-        # replay pool: window filter then append with novelty flags
-        if (frame_id + 1) % cfg.pool_filter_freq == 0:
-            self.pool = pl.filter_pool(self.pool, origin, cfg.window_radius)
-        if cfg.bs_new_sample > 0:
-            is_new = self.novelty_fn(
-                self.map_state, coords_global, batch.sdf_label, batch.mask
-            )
-        else:
-            is_new = jnp.zeros_like(batch.mask)
-        self.pool = pl.append_samples(
-            self.pool,
-            coords_global,
-            batch.sdf_label,
-            batch.weight,
-            batch.mask,
-            frame_id,
-            is_new,
-        )
-
         # adaptive iteration offset (utils/mapper.py:446-459)
         self.adaptive_iter_offset = 0
         if cfg.adaptive_iters and cfg.bs_new_sample > 0:
-            cur_count = max(int(jnp.sum(batch.mask)), 1)
-            new_obs_ratio = float(self.pool.new_count) / cur_count
+            cur_count = max(int(res.cur_sample_count), 1)
+            new_obs_ratio = float(res.new_sample_count) / cur_count
             if new_obs_ratio < cfg.new_sample_ratio_less:
                 self.adaptive_iter_offset = -5
             elif new_obs_ratio > cfg.new_sample_ratio_more:
@@ -308,7 +281,7 @@ class SlamSystem:
                     and new_obs_ratio > cfg.new_sample_ratio_restart
                 ):
                     self.adaptive_iter_offset = 10
-        return float(new_ratio)
+        return float(res.new_point_ratio)
 
     # ------------------------------------------------------------- mapping
     def _map_opt(self, frame_id: int) -> tuple:
