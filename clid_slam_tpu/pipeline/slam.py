@@ -45,6 +45,7 @@ class FrameStats:
     frame_id: int = 0
     pose: np.ndarray = field(default_factory=lambda: np.eye(4))
     tracking_ok: bool = True
+    track_iters: int = 0
     new_point_ratio: float = 0.0
     sdf_loss: float = 0.0
     eik_loss: float = 0.0
@@ -203,6 +204,7 @@ class SlamSystem:
             grav=rest[9:12],
         )
         self.tracker.P = np.asarray(P, np.float64)
+        self._last_track_iters = int(n_iter)
         ok = bool(ok)
         d.lose_track = not ok
         d.update_odom_pose(self.tracker.x.pose_matrix())
@@ -338,6 +340,7 @@ class SlamSystem:
 
         if frame_id > 0 and cfg.track_on:
             st.tracking_ok = self._track(frame_id)
+            st.track_iters = getattr(self, "_last_track_iters", 0)
         else:
             # first frame: the map frame is anchored to the tracker's state
             # (gt[0] if provided and not first_frame_ref, else wherever the
@@ -432,6 +435,7 @@ class SlamSystem:
             ts_update=np.asarray(ms.ts_update),
             count=np.asarray(ms.count),
             hash_table=np.asarray(ms.hash_table),
+            hash_mirror=np.asarray(ms.hash_mirror),
             mlp_weights=np.asarray(self.mlp.weights[0]),
             mlp_biases=np.asarray(self.mlp.biases[0]),
             mlp_w_out=np.asarray(self.mlp.w_out),
@@ -464,6 +468,7 @@ class SlamSystem:
             ts_update=jnp.asarray(z["ts_update"]),
             count=jnp.asarray(z["count"]),
             hash_table=jnp.asarray(z["hash_table"]),
+            hash_mirror=jnp.asarray(z["hash_mirror"]),
         )
         self.mlp = dec.MLPParams(
             weights=[jnp.asarray(z["mlp_weights"])],

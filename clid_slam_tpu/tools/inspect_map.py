@@ -47,6 +47,11 @@ def main(argv=None):
         ts_update=jnp.asarray(z["ts_update"]),
         count=jnp.asarray(z["count"]),
         hash_table=jnp.asarray(z["hash_table"]),
+        hash_mirror=jnp.asarray(
+            z["hash_mirror"]
+        )
+        if "hash_mirror" in z
+        else jnp.full((z["hash_table"].shape[0], 4), 1e9, jnp.float32),
     )
     mlp = dec.MLPParams(
         weights=[jnp.asarray(z["mlp_weights"])],
