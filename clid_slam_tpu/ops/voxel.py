@@ -119,6 +119,44 @@ def voxel_down_sample_min_value_mask(
     return winner & mask
 
 
+def _murmur_mix(h: jnp.ndarray) -> jnp.ndarray:
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def neighbor_hash_soa(
+    points: jnp.ndarray,  # [N,3]
+    nb_offs: jnp.ndarray,  # [K,3] int32
+    resolution,
+    table_size: int,
+) -> jnp.ndarray:
+    """[N,K] bucket indices for the K-cell neighborhood of each point, in
+    structure-of-arrays form: all heavy elementwise work happens on [N,K]
+    planes (full 128-lane occupancy) instead of [...,3] tensors (3/128
+    lanes). The per-cell prime products are hoisted: hash(g+dx) needs one
+    add per (point, cell) plus the murmur mix, not three int multiplies.
+    """
+    g = jnp.floor(points / resolution).astype(jnp.int32)  # [N,3]
+    gu = g.astype(jnp.uint32)
+    base = (
+        gu[:, 0] * jnp.uint32(73856093)
+        + gu[:, 1] * jnp.uint32(19349669)
+        + gu[:, 2] * jnp.uint32(83492791)
+    )  # [N]
+    ou = nb_offs.astype(jnp.uint32)
+    off = (
+        ou[:, 0] * jnp.uint32(73856093)
+        + ou[:, 1] * jnp.uint32(19349669)
+        + ou[:, 2] * jnp.uint32(83492791)
+    )  # [K]
+    h = _murmur_mix(base[:, None] + off[None, :])  # [N,K]
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
 def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> jnp.ndarray:
     """Static [K,3] int32 neighbor-cell offsets within the search sphere
     (semantics of model/neural_points.py:931-967: |dx|² < (cells+alpha)²).
