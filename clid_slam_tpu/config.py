@@ -32,6 +32,8 @@ def _next_pow2(n: int) -> int:
 @dataclass
 class Config:
     # ---- experiment / io (reference utils/config.py:17-47) ----
+    use_pin_mapper: bool = False  # PIN-mode projective labels instead of
+    # region-specific estimation (reference utils/config.py:18)
     name: str = "clid_slam_tpu"
     run_name: str = ""
     output_root: str = "./experiment"
@@ -261,6 +263,7 @@ class Config:
         c = Config()
         c.run_name = ""  # recompute from the loaded name in _derive
         s = args.get("setting", {}) or {}
+        c.use_pin_mapper = s.get("use_pin_mapper", False)
         c.name = s.get("name", c.name)
         c.output_root = s.get("output_root", c.output_root)
         c.pc_path = s.get("pc_path", c.pc_path)

@@ -52,6 +52,8 @@ def make_prep_fn(
     new_certainty_thre: float,
     novelty_on: bool,
     filter_pool_now: bool = True,
+    pin_mode: bool = False,
+    behind_dropoff_on: bool = False,
 ):
     one_cell_mvd2 = 3.0 * (2.0 * resolution) ** 2
 
@@ -71,9 +73,13 @@ def make_prep_fn(
         origin = pose[:3, 3]
         world_pts = transform_points(points, pose)
 
-        local_map = lm.update_local_map(
-            local_map, origin, world_pts, mask, local_resolution, local_map_size
-        )
+        if not pin_mode:
+            # PIN mode skips the raw-point local map entirely
+            # (utils/mapper.py:179-184 gated on use_pin_mapper)
+            local_map = lm.update_local_map(
+                local_map, origin, world_pts, mask, local_resolution,
+                local_map_size,
+            )
 
         batch = sample_rays(
             key,
@@ -91,6 +97,8 @@ def make_prep_fn(
             max_range=max_range,
             dist_weight_on=dist_weight_on,
             dist_weight_scale=dist_weight_scale,
+            pin_mode=pin_mode,
+            behind_dropoff_on=behind_dropoff_on,
         )
         coords_global = transform_points(batch.coords, pose)
 

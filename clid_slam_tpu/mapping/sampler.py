@@ -56,6 +56,8 @@ def sample_rays(
     max_range: float,
     dist_weight_on: bool = True,
     dist_weight_scale: float = 0.8,
+    pin_mode: bool = False,
+    behind_dropoff_on: bool = False,
 ) -> SampleBatch:
     n = points.shape[0]
     s_total = 1 + surface_sample_n + free_front_n + free_behind_n
@@ -94,20 +96,26 @@ def sample_rays(
     all_disp = jnp.concatenate([disp0, disp_s, disp_f, disp_b], 0)  # [S,N]
 
     coords = points[None, :, :] * all_ratio[:, :, None]  # [S,N,3]
-    sdf_label = -all_disp  # in-front positive
+    sdf_label = -all_disp  # in-front positive (projective distance)
 
-    # region-specific estimation for the surface blocks (not the endpoint)
     surf_lo, surf_hi = 1, 1 + surface_sample_n
-    surf_coords = coords[surf_lo:surf_hi].reshape(-1, 3)  # [S_s*N, 3]
-    surf_global = transform_points(surf_coords, pose)
-    est_dist, est_valid = region_specific_sdf(
-        local_map, surf_global, local_voxel_size
-    )
-    sdf_sign = jnp.where(disp_s.reshape(-1) < 0, 1.0, -1.0)
-    surf_label = sdf_sign * est_dist
-    sdf_label = sdf_label.at[surf_lo:surf_hi].set(
-        surf_label.reshape(surface_sample_n, n)
-    )
+    if not pin_mode:
+        # CLID mode: region-specific estimation for the surface blocks
+        # (not the endpoint) — utils/data_sampler.py:352-367
+        surf_coords = coords[surf_lo:surf_hi].reshape(-1, 3)  # [S_s*N, 3]
+        surf_global = transform_points(surf_coords, pose)
+        est_dist, est_valid = region_specific_sdf(
+            local_map, surf_global, local_voxel_size
+        )
+        sdf_sign = jnp.where(disp_s.reshape(-1) < 0, 1.0, -1.0)
+        surf_label = sdf_sign * est_dist
+        sdf_label = sdf_label.at[surf_lo:surf_hi].set(
+            surf_label.reshape(surface_sample_n, n)
+        )
+    else:
+        # PIN mode keeps the projective-distance labels as-is
+        # (utils/data_sampler.py:16-258)
+        est_valid = None
 
     # weights
     weight = jnp.ones((s_total, n))
@@ -120,13 +128,21 @@ def sample_rays(
         weight = weight.at[:surf_hi].set(
             jnp.broadcast_to(w_surface[None, :], (surf_hi, n))
         )
+    if behind_dropoff_on:
+        # utils/data_sampler.py:154-163: weight falls off behind surface
+        dropoff_min = 0.2 * free_sample_end_dist_m
+        dropoff_max = free_sample_end_dist_m
+        dw = (dropoff_max - all_disp) / (dropoff_max - dropoff_min)
+        dw = jnp.clip(dw, 0.0, 1.0) * 0.8 + 0.2
+        weight = weight * dw
     weight = weight.at[surf_hi:].multiply(-1.0)
 
     # validity: ray mask everywhere; surface samples also need neighbors
     valid = jnp.broadcast_to(mask[None, :], (s_total, n))
-    valid = valid.at[surf_lo:surf_hi].set(
-        valid[surf_lo:surf_hi] & est_valid.reshape(surface_sample_n, n)
-    )
+    if est_valid is not None:
+        valid = valid.at[surf_lo:surf_hi].set(
+            valid[surf_lo:surf_hi] & est_valid.reshape(surface_sample_n, n)
+        )
 
     return SampleBatch(
         coords=coords.reshape(-1, 3),

@@ -34,6 +34,23 @@ def _rot_close_to_identity(T: np.ndarray, rot_thre: float, tran_thre: float) -> 
     )
 
 
+def intrinsic_correct(points: np.ndarray, correct_deg: float) -> np.ndarray:
+    """KITTI vertical-angle intrinsic correction
+    (utils/slam_dataset.py:1263-1291; 0.195 deg for KITTI odometry)."""
+    if correct_deg == 0.0:
+        return points
+    out = points.copy()
+    dist = np.linalg.norm(points[:, :3], axis=1)
+    var = np.deg2rad(correct_deg)
+    v_ang = np.arcsin(np.clip(points[:, 2] / np.clip(dist, 1e-12), -1, 1))
+    v_ang_c = v_ang + var
+    hor_scale = np.cos(v_ang_c) / np.clip(np.cos(v_ang), 1e-9)
+    out[:, 0] *= hor_scale
+    out[:, 1] *= hor_scale
+    out[:, 2] = dist * np.sin(v_ang_c)
+    return out
+
+
 class SLAMDataset:
     def __init__(self, cfg: Config, tracker=None, min_frames: int = 1024):
         self.cfg = cfg
@@ -104,6 +121,8 @@ class SLAMDataset:
     def read_frame(self, frame_id: int):
         path = os.path.join(self.cfg.pc_path, self.pc_filenames[frame_id])
         points, point_ts = io.read_point_cloud(path, self.cfg.color_channel)
+        if self.cfg.kitti_correction_on:
+            points = intrinsic_correct(points, self.cfg.correction_deg)
         if self.cfg.deskew and point_ts is None:
             point_ts = self._estimate_point_ts(points[:, :3])
         self.read_frame_arrays(points, point_ts)
@@ -296,3 +315,49 @@ class SLAMDataset:
         with open(os.path.join(run_path, "metrics.json"), "w") as f:
             json.dump(result, f, indent=2)
         return result
+
+    def write_merged_point_cloud(
+        self, run_path: str, down_voxel_m: float = 0.0, max_frames: int = 0
+    ):
+        """Replay the sequence with the estimated poses and write one merged
+        world-frame cloud (utils/slam_dataset.py:882-990, minus the Open3D
+        dependency). Deskewing per frame uses the estimated inter-frame
+        motion when timestamps are available."""
+        n = self.processed_frame
+        if max_frames:
+            n = min(n, max_frames)
+        clouds = []
+        for i in range(min(n, self.total_pc_count)):
+            path = os.path.join(self.cfg.pc_path, self.pc_filenames[i])
+            pts, ts = io.read_point_cloud(path, 0)
+            pts = pts[:, :3]
+            if self.cfg.kitti_correction_on:
+                pts = intrinsic_correct(pts, self.cfg.correction_deg)
+            if not np.allclose(self.T_imu_lidar, np.eye(4)):
+                pts = pts @ self.T_imu_lidar[:3, :3].T + self.T_imu_lidar[:3, 3]
+            if (
+                self.cfg.deskew
+                and ts is not None
+                and i < self.total_pc_count - 1
+                and i + 1 < len(self.odom_poses)
+            ):
+                rel = np.linalg.inv(self.odom_poses[i + 1]) @ self.odom_poses[i]
+                pts = np.asarray(
+                    deskew(
+                        jnp.asarray(pts),
+                        jnp.asarray(ts, jnp.float32),
+                        jnp.asarray(rel, jnp.float32),
+                    )
+                )
+            T = self.odom_poses[i]
+            clouds.append((pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32))
+        if not clouds:
+            return None
+        merged = np.concatenate(clouds, 0)
+        if down_voxel_m > 0:
+            g = np.floor(merged / down_voxel_m).astype(np.int64)
+            _, keep = np.unique(g, axis=0, return_index=True)
+            merged = merged[np.sort(keep)]
+        out = os.path.join(run_path, "merged_point_cloud.ply")
+        io.write_ply(out, merged)
+        return out

@@ -166,6 +166,21 @@ class SlamSystem:
         )
         self.adaptive_iter_offset = 0
         self._prep_fns = {}
+        self._dyn_filter = None
+        if cfg.dynamic_filter_on:
+            from ..mapping.dynamic_filter import make_dynamic_filter_fn
+
+            self._dyn_filter = make_dynamic_filter_fn(
+                knn_k=cfg.query_nn_k,
+                nb_offs=self.nb_offs,
+                resolution=cfg.voxel_size_m,
+                max_valid_dist2=self.max_valid_dist2,
+                sdf_scale=cfg.sdf_scale,
+                certainty_thre=cfg.dynamic_certainty_thre,
+                sdf_ratio_thre=cfg.dynamic_sdf_ratio_thre,
+                mlp_leaky=cfg.mlp_leaky_relu,
+                mlp_bf16=cfg.mlp_bf16,
+            )
         self.stats: list = []
 
     # --------------------------------------------------------------- track
@@ -238,6 +253,8 @@ class SlamSystem:
                 new_certainty_thre=cfg.new_certainty_thre,
                 novelty_on=cfg.bs_new_sample > 0,
                 filter_pool_now=filter_now,
+                pin_mode=cfg.use_pin_mapper,
+                behind_dropoff_on=cfg.behind_dropoff_on,
             )
             self._prep_fns[filter_now] = prep
 
@@ -363,6 +380,20 @@ class SlamSystem:
 
         valid_mapping = (not d.lose_track) and (not d.stop_status)
         if valid_mapping:
+            if self._dyn_filter is not None and frame_id > 0:
+                # drop measurements landing in confidently-observed free
+                # space (slam.py:170-176 passes filter_dynamic for frame>0)
+                pose_j = jnp.asarray(d.cur_pose_ref, jnp.float32)
+                world = transform_points(d.cur_points, pose_j)
+                d.cur_mask = self._dyn_filter(
+                    self.map_state,
+                    self.mlp,
+                    world,
+                    d.cur_mask,
+                    self.travel_dist_dev,
+                    frame_id,
+                    cfg.diff_travel_dist_local,
+                )
             st.new_point_ratio = self._map_prep(frame_id, d.cur_pose_ref)
         jax.block_until_ready(self.map_state.count)
         t3 = time.perf_counter()
@@ -410,6 +441,10 @@ class SlamSystem:
             )
             io.write_ply_mesh(os.path.join(run_path, "mesh.ply"), v, t)
             result["mesh_vertices"] = len(v)
+        if cfg.save_merged_pc and self.dataset.total_pc_count > 0:
+            out = self.dataset.write_merged_point_cloud(run_path)
+            if out:
+                result["merged_point_cloud"] = out
         with open(os.path.join(run_path, "metrics.json"), "w") as f:
             json.dump(result, f, indent=2)
         return result
