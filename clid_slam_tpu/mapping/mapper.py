@@ -66,8 +66,19 @@ def make_mapping_fn(
     adam_eps: float,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    color_on: bool = False,
+    sem_on: bool = False,
+    weight_i: float = 1.0,
+    weight_s: float = 1.0,
+    surface_sample_range_m: float = 0.25,
+    freespace_label_on: bool = False,
 ):
-    """Build the jitted per-frame map optimization function."""
+    """Build the jitted per-frame map optimization function.
+
+    Color (intensity/RGB) regression trains a second feature slab + MLP
+    sharing the geometric kNN (utils/mapper.py:686-689, 820-830); semantic
+    classification trains a third MLP over the geometric features
+    (utils/mapper.py:682-685, 800-818)."""
 
     bd = max(1, bs // gradient_decimation)
 
@@ -88,8 +99,9 @@ def make_mapping_fn(
         pred = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
         return pred, q
 
-    def loss_fn(feats, mlp, map_state, batch, travel_dist, cur_ts, window):
-        coord, label, weight, bvalid = batch
+    def loss_fn(params, map_state, batch, travel_dist, cur_ts, window):
+        feats, mlp, cfeats, color_mlp, sem_mlp = params
+        coord, label, weight, bvalid, color_lbl, sem_lbl = batch
         pred, q = query_sdf(map_state, feats, mlp, coord, travel_dist, cur_ts, window)
 
         w_abs = jnp.abs(weight) * bvalid
@@ -99,6 +111,33 @@ def make_mapping_fn(
             sdf_loss = jnp.sum(w_abs * bce) / bs  # torch weighted-mean semantics
         else:
             sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(jnp.sum(bvalid), 1.0)
+
+        extra = 0.0
+        surface_mask = (
+            jnp.abs(label) < surface_sample_range_m
+        ) * bvalid  # utils/mapper.py:691-693
+        if color_on:
+            st_c = map_state._replace(color_feats=cfeats)
+            cfeat = nm.query_color_feature(st_c._replace(geo_feats=feats), q, feature_dim)
+            cpred = dec.regress_color(
+                color_mlp, cfeat, leaky=mlp_leaky, bf16=mlp_bf16
+            )
+            cdiff = jnp.abs(cpred - color_lbl).mean(-1)  # L1
+            cw = w_abs if loss_weight_on else bvalid
+            color_loss = jnp.sum(cdiff * surface_mask * cw) / jnp.clip(
+                jnp.sum(surface_mask * cw), 1.0
+            )
+            extra = extra + weight_i * color_loss
+        if sem_on:
+            logp = dec.sem_label_prob(
+                sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16
+            )  # [N,S]
+            lbl_ok = (sem_lbl >= 0) if freespace_label_on else (sem_lbl > 0)
+            lm_ = lbl_ok.astype(jnp.float32) * bvalid
+            safe_lbl = jnp.clip(sem_lbl, 0)
+            nll = -jnp.take_along_axis(logp, safe_lbl[:, None], axis=1)[:, 0]
+            sem_loss = jnp.sum(nll * lm_) / jnp.clip(jnp.sum(lm_), 1.0)
+            extra = extra + weight_s * sem_loss
 
         # eikonal on numerically-differentiated decimated samples
         # (utils/mapper.py:696-704, 985-1034: central differences, 6 taps)
@@ -128,7 +167,7 @@ def make_mapping_fn(
         gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-20)
         eik = jnp.sum(((gn - 1.0) ** 2) * vd) / jnp.clip(jnp.sum(vd), 1.0)
 
-        loss = sdf_loss + weight_e * eik
+        loss = sdf_loss + weight_e * eik + extra
         aux = (
             jax.lax.stop_gradient(q.knn_idx),
             jax.lax.stop_gradient(q.weights),
@@ -139,12 +178,14 @@ def make_mapping_fn(
         )
         return loss, aux
 
-    grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+    grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
 
     @partial(jax.jit, donate_argnums=(0,))
     def mapping(
         map_state: nm.NeuralMapState,
         mlp: dec.MLPParams,
+        color_mlp: dec.MLPParams,
+        sem_mlp: dec.MLPParams,
         pool: ReplayPool,
         travel_dist,
         cur_ts,
@@ -153,23 +194,25 @@ def make_mapping_fn(
         iter_count,  # dynamic
         mlp_lr_scale,  # 1.0 normally, 0.0 when the decoder is frozen
     ):
-        feats0 = map_state.geo_feats
         zeros_like = lambda tr: jax.tree.map(jnp.zeros_like, tr)
-        carry0 = (
-            feats0,
+        params0 = (
+            map_state.geo_feats,
             mlp,
-            AdamState(jnp.zeros_like(feats0), jnp.zeros_like(feats0)),
-            AdamState(zeros_like(mlp), zeros_like(mlp)),
+            map_state.color_feats,
+            color_mlp,
+            sem_mlp,
+        )
+        carry0 = (
+            params0,
+            AdamState(zeros_like(params0), zeros_like(params0)),
             map_state.certainty,
             map_state.ts_update,
             key,
             jnp.zeros((2,), jnp.float32),  # (sdf_loss, eik) of last iter
         )
 
-        p = pool.coords.shape[0]
-
         def body(i, carry):
-            feats, mlp_p, fa, ma, certainty, ts_upd, k, _ = carry
+            params, adam, certainty, ts_upd, k, _ = carry
             k, kb = jax.random.split(k)
             idx = sample_batch_indices(pool, kb, bs, bs_new)
             bvalid = (idx < pool.size).astype(jnp.float32)
@@ -177,13 +220,14 @@ def make_mapping_fn(
             label = pool.sdf[idx]
             weight = pool.weight[idx]
             ts = pool.ts[idx]
+            color_lbl = pool.color[idx]
+            sem_lbl = pool.sem[idx]
 
             st = map_state._replace(certainty=certainty, ts_update=ts_upd)
-            (g_feats, g_mlp), aux = grad_fn(
-                feats,
-                mlp_p,
+            grads, aux = grad_fn(
+                params,
                 st,
-                (coord, label, weight, bvalid),
+                (coord, label, weight, bvalid, color_lbl, sem_lbl),
                 travel_dist,
                 cur_ts,
                 window,
@@ -191,35 +235,46 @@ def make_mapping_fn(
             knn_idx, w_knn, tap_idx, tap_w, sdf_l, eik_l = aux
 
             t = (i + 1).astype(jnp.float32)
-            upd_f, fa = _adam_update(g_feats, fa, t, lr, adam_eps)
-            feats = feats + upd_f
-            upd_m, ma = _adam_update(g_mlp, ma, t, lr * mlp_lr_scale, adam_eps)
-            mlp_p = jax.tree.map(jnp.add, mlp_p, upd_m)
+            # per-group learning rates: features at lr, all MLPs at
+            # lr * mlp_lr_scale (freeze support, slam.py:194-196)
+            lrs = (lr, lr * mlp_lr_scale, lr, lr * mlp_lr_scale, lr * mlp_lr_scale)
+            new_params = []
+            new_m, new_v = [], []
+            for p_, g_, m_, v_, lr_ in zip(
+                params, grads, adam.m, adam.v, lrs
+            ):
+                upd, st_a = _adam_update(g_, AdamState(m_, v_), t, lr_, adam_eps)
+                new_params.append(jax.tree.map(jnp.add, p_, upd))
+                new_m.append(st_a.m)
+                new_v.append(st_a.v)
+            params = tuple(new_params)
+            adam = AdamState(tuple(new_m), tuple(new_v))
 
             # training-mode certainty accumulation (both the main batch and
             # the numerical-gradient taps, as in the reference where every
             # query_feature call in training mode scatters)
-            st = st._replace(certainty=certainty, ts_update=ts_upd)
             st = nm.accumulate_certainty(st, knn_idx, w_knn, ts)
             st = nm.accumulate_certainty(st, tap_idx, tap_w, None)
             return (
-                feats,
-                mlp_p,
-                fa,
-                ma,
+                params,
+                adam,
                 st.certainty,
                 st.ts_update,
                 k,
                 jnp.stack([sdf_l, eik_l]),
             )
 
-        feats, mlp_out, _, _, certainty, ts_upd, _, losses = jax.lax.fori_loop(
+        params, _, certainty, ts_upd, _, losses = jax.lax.fori_loop(
             0, iter_count, body, carry0
         )
+        feats, mlp_out, cfeats, color_mlp_out, sem_mlp_out = params
         new_state = map_state._replace(
-            geo_feats=feats, certainty=certainty, ts_update=ts_upd
+            geo_feats=feats,
+            color_feats=cfeats,
+            certainty=certainty,
+            ts_update=ts_upd,
         )
-        return new_state, mlp_out, losses
+        return new_state, mlp_out, color_mlp_out, sem_mlp_out, losses
 
     return mapping
 

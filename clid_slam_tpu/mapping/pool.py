@@ -31,17 +31,23 @@ class ReplayPool(NamedTuple):
     sdf: jnp.ndarray  # [P]
     weight: jnp.ndarray  # [P]
     ts: jnp.ndarray  # [P] i32 frame id
+    color: jnp.ndarray  # [P,C] f32 (C=1 dummy when color mapping off)
+    sem: jnp.ndarray  # [P] i32 semantic label (-1 = unlabeled)
     size: jnp.ndarray  # scalar i32, live prefix length
     new_buf: jnp.ndarray  # [B] i32 indices of new-region samples
     new_count: jnp.ndarray  # scalar i32
 
 
-def init_pool(capacity: int, new_buf_size: int) -> ReplayPool:
+def init_pool(
+    capacity: int, new_buf_size: int, color_channels: int = 1
+) -> ReplayPool:
     return ReplayPool(
         coords=jnp.zeros((capacity, 3), jnp.float32),
         sdf=jnp.zeros((capacity,), jnp.float32),
         weight=jnp.zeros((capacity,), jnp.float32),
         ts=jnp.zeros((capacity,), jnp.int32),
+        color=jnp.zeros((capacity, color_channels), jnp.float32),
+        sem=jnp.full((capacity,), -1, jnp.int32),
         size=jnp.zeros((), jnp.int32),
         new_buf=jnp.zeros((new_buf_size,), jnp.int32),
         new_count=jnp.zeros((), jnp.int32),
@@ -72,6 +78,8 @@ def filter_pool(
         sdf=compact(pool.sdf),
         weight=compact(pool.weight),
         ts=compact(pool.ts),
+        color=compact(pool.color),
+        sem=compact(pool.sem),
         size=n,
         new_buf=jnp.zeros_like(pool.new_buf),
         new_count=jnp.zeros_like(pool.new_count),
@@ -87,6 +95,8 @@ def append_samples(
     mask: jnp.ndarray,
     frame_id,
     is_new: jnp.ndarray,  # [M] bool novelty flags (certainty+label gated)
+    color=None,  # [M,C] or None
+    sem=None,  # [M] i32 or None
 ) -> ReplayPool:
     p = pool.coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -99,6 +109,16 @@ def append_samples(
     sdf_arr = pool.sdf.at[slot].set(sdf, mode="drop")
     weight_arr = pool.weight.at[slot].set(weight, mode="drop")
     ts_arr = pool.ts.at[slot].set(jnp.asarray(frame_id, jnp.int32), mode="drop")
+    color_arr = (
+        pool.color.at[slot].set(color, mode="drop")
+        if color is not None
+        else pool.color
+    )
+    sem_arr = (
+        pool.sem.at[slot].set(sem.astype(jnp.int32), mode="drop")
+        if sem is not None
+        else pool.sem
+    )
     n_added = jnp.sum(write.astype(jnp.int32))
 
     # new-region index side buffer
@@ -115,6 +135,8 @@ def append_samples(
         sdf=sdf_arr,
         weight=weight_arr,
         ts=ts_arr,
+        color=color_arr,
+        sem=sem_arr,
         size=pool.size + n_added,
         new_buf=new_buf,
         new_count=new_count,

@@ -69,6 +69,8 @@ def make_prep_fn(
         travel_dist,  # [T]
         frame_id,
         diff_travel_dist_local,
+        colors=None,  # [P,C] per-point color/intensity
+        sem_labels=None,  # [P] i32
     ) -> PrepResult:
         origin = pose[:3, 3]
         world_pts = transform_points(points, pose)
@@ -99,6 +101,8 @@ def make_prep_fn(
             dist_weight_scale=dist_weight_scale,
             pin_mode=pin_mode,
             behind_dropoff_on=behind_dropoff_on,
+            colors=colors,
+            sem_labels=sem_labels,
         )
         coords_global = transform_points(batch.coords, pose)
 
@@ -144,6 +148,8 @@ def make_prep_fn(
             batch.mask,
             frame_id,
             is_new,
+            color=batch.color if colors is not None else None,
+            sem=batch.sem if sem_labels is not None else None,
         )
         return PrepResult(
             map_state,

@@ -37,6 +37,8 @@ class SampleBatch(NamedTuple):
     sdf_label: jnp.ndarray  # [N*S]
     weight: jnp.ndarray  # [N*S] (sign = surface(+)/freespace(-))
     mask: jnp.ndarray  # [N*S] bool
+    color: jnp.ndarray  # [N*S, C] (zeros for freespace; C=1 dummy if off)
+    sem: jnp.ndarray  # [N*S] i32 (-1 unlabeled; 0 = freespace class)
 
 
 def sample_rays(
@@ -58,6 +60,8 @@ def sample_rays(
     dist_weight_scale: float = 0.8,
     pin_mode: bool = False,
     behind_dropoff_on: bool = False,
+    colors=None,  # [N,C] per-ray color/intensity
+    sem_labels=None,  # [N] i32 per-ray semantic label
 ) -> SampleBatch:
     n = points.shape[0]
     s_total = 1 + surface_sample_n + free_front_n + free_behind_n
@@ -144,9 +148,31 @@ def sample_rays(
             valid[surf_lo:surf_hi] & est_valid.reshape(surface_sample_n, n)
         )
 
+    # color labels: endpoint + near-surface samples carry the ray color,
+    # freespace samples zero (utils/data_sampler.py:61-107, 196-206)
+    if colors is not None:
+        c = colors.shape[1]
+        color_s = jnp.zeros((s_total, n, c))
+        color_s = color_s.at[:surf_hi].set(
+            jnp.broadcast_to(colors[None, :, :], (surf_hi, n, c))
+        )
+    else:
+        color_s = jnp.zeros((s_total, n, 1))
+    # semantic labels: surface samples keep the ray label, freespace gets
+    # class 0 (utils/data_sampler.py:184-193)
+    if sem_labels is not None:
+        sem_s = jnp.zeros((s_total, n), jnp.int32)
+        sem_s = sem_s.at[:surf_hi].set(
+            jnp.broadcast_to(sem_labels[None, :], (surf_hi, n))
+        )
+    else:
+        sem_s = jnp.full((s_total, n), -1, jnp.int32)
+
     return SampleBatch(
         coords=coords.reshape(-1, 3),
         sdf_label=sdf_label.reshape(-1),
         weight=weight.reshape(-1),
         mask=valid.reshape(-1),
+        color=color_s.reshape(s_total * n, -1),
+        sem=sem_s.reshape(-1),
     )

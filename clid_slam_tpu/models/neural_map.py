@@ -60,6 +60,8 @@ class NeuralMapState(NamedTuple):
     positions: jnp.ndarray  # [C+1, 3] f32
     quats: jnp.ndarray  # [C+1, 4] f32 (wxyz, identity at creation)
     geo_feats: jnp.ndarray  # [C+1, F] f32  (trainable)
+    color_feats: jnp.ndarray  # [C+1, Fc] f32 (trainable; Fc=1 dummy when
+    # color mapping is off — model/neural_points.py:96-103 equivalent)
     certainty: jnp.ndarray  # [C+1] f32
     ts_create: jnp.ndarray  # [C+1] i32
     ts_update: jnp.ndarray  # [C+1] i32
@@ -68,12 +70,18 @@ class NeuralMapState(NamedTuple):
     hash_mirror: jnp.ndarray  # [H, 4] f32 (x, y, z, travel_at_create)
 
 
-def init_map(capacity: int, hash_size: int, feature_dim: int) -> NeuralMapState:
+def init_map(
+    capacity: int,
+    hash_size: int,
+    feature_dim: int,
+    color_feature_dim: int = 1,
+) -> NeuralMapState:
     c1 = capacity + 1
     return NeuralMapState(
         positions=jnp.zeros((c1, 3), jnp.float32),
         quats=jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (c1, 1)),
         geo_feats=jnp.zeros((c1, feature_dim), jnp.float32),
+        color_feats=jnp.zeros((c1, color_feature_dim), jnp.float32),
         certainty=jnp.zeros((c1,), jnp.float32),
         ts_create=jnp.zeros((c1,), jnp.int32),
         ts_update=jnp.zeros((c1,), jnp.int32),
@@ -137,6 +145,7 @@ def insert_points(
     positions = state.positions.at[slot].set(points)
     quats = state.quats.at[slot].set(jnp.array([1.0, 0, 0, 0], jnp.float32))
     geo_feats = state.geo_feats.at[slot].set(0.0)
+    color_feats = state.color_feats.at[slot].set(0.0)
     certainty = state.certainty.at[slot].set(0.0)
     ts = jnp.asarray(cur_ts, jnp.int32)
     ts_create = state.ts_create.at[slot].set(ts)
@@ -144,6 +153,7 @@ def insert_points(
     # restore sentinel row
     positions = positions.at[cap].set(0.0)
     geo_feats = geo_feats.at[cap].set(0.0)
+    color_feats = color_feats.at[cap].set(0.0)
     certainty = certainty.at[cap].set(0.0)
     ts_create = ts_create.at[cap].set(0)
     ts_update = ts_update.at[cap].set(0)
@@ -166,6 +176,7 @@ def insert_points(
         positions=positions,
         quats=quats,
         geo_feats=geo_feats,
+        color_feats=color_feats,
         certainty=certainty,
         ts_create=ts_create,
         ts_update=ts_update,
@@ -286,6 +297,22 @@ def query_feature(
     return QueryResult(feature, w, knn_idx, nn_count, certainty_q)
 
 
+def query_color_feature(
+    state: NeuralMapState, qres: QueryResult, feature_dim: int
+) -> jnp.ndarray:
+    """Color-feature interpolation reusing the geometric query's kNN
+    (model/neural_points.py:634-754: same neighbors/weights, second feature
+    slab, same relative-vector suffix). [N, Fc+3]."""
+    cap = map_capacity(state)
+    valid = qres.knn_idx >= 0
+    safe = jnp.where(valid, qres.knn_idx, cap)
+    cf = state.color_feats[safe]  # [N,k,Fc]
+    cf = jnp.where(valid[..., None], cf, 0.0)
+    cw = jnp.sum(cf * qres.weights[..., None], axis=1)  # [N,Fc]
+    vec_part = qres.feature[:, feature_dim:]  # weighted rel-vec (3 [+pe])
+    return jnp.concatenate([cw, vec_part], axis=-1)
+
+
 def accumulate_certainty(
     state: NeuralMapState,
     knn_idx: jnp.ndarray,
@@ -369,6 +396,7 @@ def prune_and_rehash(
     positions = compact(state.positions)
     quats = compact(state.quats)
     geo_feats = compact(state.geo_feats)
+    color_feats = compact(state.color_feats)
     certainty = compact(state.certainty)
     ts_create = compact(state.ts_create, 0)
     ts_update = compact(state.ts_update, 0)
@@ -394,6 +422,7 @@ def prune_and_rehash(
         positions=positions,
         quats=quats,
         geo_feats=geo_feats,
+        color_feats=color_feats,
         certainty=certainty,
         ts_create=ts_create,
         ts_update=ts_update,

@@ -64,13 +64,18 @@ class SlamSystem:
         )
 
         self.map_state = nm.init_map(
-            cfg.map_capacity, cfg.map_hash_size, cfg.feature_dim
+            cfg.map_capacity,
+            cfg.map_hash_size,
+            cfg.feature_dim,
+            cfg.feature_dim if cfg.color_on else 1,
         )
         self.local_map = lm.init_local_map(
             cfg.local_map_capacity, cfg.local_map_hash_size
         )
         new_buf = cfg.max_scan_points * cfg.all_sample_n
-        self.pool = pl.init_pool(cfg.pool_capacity, new_buf)
+        self.pool = pl.init_pool(
+            cfg.pool_capacity, new_buf, max(cfg.color_channel, 1)
+        )
         self.key, k = jax.random.split(self.key)
         self.mlp = dec.init_mlp(
             k,
@@ -78,6 +83,23 @@ class SlamSystem:
             cfg.geo_mlp_hidden_dim,
             cfg.geo_mlp_level,
             1,
+            cfg.mlp_bias_on,
+        )
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        self.color_mlp = dec.init_mlp(
+            k1,
+            cfg.feature_dim + 3,
+            cfg.color_mlp_hidden_dim,
+            cfg.color_mlp_level,
+            max(cfg.color_channel, 1),
+            cfg.mlp_bias_on,
+        )
+        self.sem_mlp = dec.init_mlp(
+            k2,
+            cfg.feature_dim + 3,
+            cfg.sem_mlp_hidden_dim,
+            cfg.sem_mlp_level,
+            cfg.sem_class_count if cfg.semantic_on else 1,
             cfg.mlp_bias_on,
         )
         if cfg.load_model and cfg.model_path and os.path.isfile(cfg.model_path):
@@ -101,6 +123,11 @@ class SlamSystem:
             adam_eps=cfg.adam_eps,
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
+            color_on=cfg.color_on,
+            sem_on=cfg.semantic_on,
+            weight_i=cfg.weight_i,
+            weight_s=cfg.weight_s,
+            surface_sample_range_m=cfg.surface_sample_range_m,
         )
         self.novelty_fn = mp.make_novelty_fn(
             resolution=cfg.voxel_size_m,
@@ -270,6 +297,8 @@ class SlamSystem:
             self.travel_dist_dev,
             frame_id,
             cfg.diff_travel_dist_local,
+            getattr(d, "cur_colors", None) if cfg.color_on else None,
+            getattr(d, "cur_sem", None) if cfg.semantic_on else None,
         )
         self.map_state = res.map_state
         self.local_map = res.local_map
@@ -314,9 +343,17 @@ class SlamSystem:
         cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
         mlp_scale = 0.0 if frame_id >= cfg.freeze_after_frame else 1.0
         self.key, k = jax.random.split(self.key)
-        self.map_state, self.mlp, losses = self.mapping_fn(
+        (
             self.map_state,
             self.mlp,
+            self.color_mlp,
+            self.sem_mlp,
+            losses,
+        ) = self.mapping_fn(
+            self.map_state,
+            self.mlp,
+            self.color_mlp,
+            self.sem_mlp,
             self.pool,
             self.travel_dist_dev,
             frame_id,
@@ -465,6 +502,7 @@ class SlamSystem:
             positions=np.asarray(ms.positions),
             quats=np.asarray(ms.quats),
             geo_feats=np.asarray(ms.geo_feats),
+            color_feats=np.asarray(ms.color_feats),
             certainty=np.asarray(ms.certainty),
             ts_create=np.asarray(ms.ts_create),
             ts_update=np.asarray(ms.ts_update),
@@ -498,6 +536,11 @@ class SlamSystem:
             positions=jnp.asarray(z["positions"]),
             quats=jnp.asarray(z["quats"]),
             geo_feats=jnp.asarray(z["geo_feats"]),
+            color_feats=jnp.asarray(
+                z["color_feats"]
+            )
+            if "color_feats" in z
+            else jnp.zeros((z["geo_feats"].shape[0], 1), jnp.float32),
             certainty=jnp.asarray(z["certainty"]),
             ts_create=jnp.asarray(z["ts_create"]),
             ts_update=jnp.asarray(z["ts_update"]),

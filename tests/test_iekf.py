@@ -106,8 +106,11 @@ def trained_scene():
         bs=2048, bs_new=0, gradient_decimation=10, num_grad_eps=RES * 0.2,
         weight_e=0.5, loss_weight_on=True, lr=0.01, adam_eps=1e-15,
     )
-    nmap, mlp, _ = mapping(
-        nmap, mlp, pool, travel, 0, 1e9, jax.random.PRNGKey(2), 400, 1.0
+    color_mlp = dec.init_mlp(jax.random.PRNGKey(3), F + 3, 32, 1)
+    sem_mlp = dec.init_mlp(jax.random.PRNGKey(4), F + 3, 32, 1)
+    nmap, mlp, _, _, _ = mapping(
+        nmap, mlp, color_mlp, sem_mlp, pool, travel, 0, 1e9,
+        jax.random.PRNGKey(2), 400, 1.0,
     )
     return pts, nmap, mlp, travel
 

@@ -112,8 +112,11 @@ def test_mapping_convergence(rng):
         lr=0.01,
         adam_eps=1e-15,
     )
-    nmap, mlp, losses = mapping(
-        nmap, mlp, pool, travel, 0, 1e9, jax.random.PRNGKey(2), 300, 1.0
+    color_mlp = dec.init_mlp(jax.random.PRNGKey(3), F + 3, 32, 1)
+    sem_mlp = dec.init_mlp(jax.random.PRNGKey(4), F + 3, 32, 1)
+    nmap, mlp, _, _, losses = mapping(
+        nmap, mlp, color_mlp, sem_mlp, pool, travel, 0, 1e9,
+        jax.random.PRNGKey(2), 300, 1.0,
     )
     sdf_loss, eik_loss = float(losses[0]), float(losses[1])
     assert np.isfinite(sdf_loss) and np.isfinite(eik_loss)
