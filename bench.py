@@ -48,11 +48,14 @@ def main():
     cfg.adaptive_iters = True
     cfg.map_capacity = 1 << 20
     cfg.map_hash_size = 1 << 22
-    cfg.local_map_capacity = 1 << 20
-    cfg.local_map_hash_size = 1 << 22
+    cfg.local_map_capacity = 1 << 19
+    cfg.local_map_hash_size = 1 << 21
     cfg.max_scan_points = 1 << 15
     cfg.max_source_points = 1 << 13
-    cfg.pool_capacity = 1 << 22
+    cfg.pool_capacity = 1 << 21
+    # the sliding window (60 m) moves ~0.1 m/frame: filtering the pool
+    # every frame is pure overhead (O(pool) compaction)
+    cfg.pool_filter_freq = 10
     cfg.track_on = True
     cfg.silence = True
     cfg._derive()

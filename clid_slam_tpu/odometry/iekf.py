@@ -404,11 +404,11 @@ def make_update_iterated_fn(
         n_total = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
         def cond(carry):
-            i, _, _, _, _, _, done, _ = carry
+            i, _, _, _, _, _, done, _, _ = carry
             return (i < max_iteration) & ~done
 
         def body(carry):
-            i, rot, pos, rest, _, _, _, _ = carry
+            i, rot, pos, rest, _, _, _, _, prev_step = carry
             # dx_new = x ⊟ x_propagated (utils/error_state_iekf.py:287)
             drot = lie.so3_log(rot0.T @ rot)
             dx_new = jnp.concatenate([drot, pos - pos0, rest - rest0])
@@ -440,11 +440,19 @@ def make_update_iterated_fn(
                 & (tran_m < term_thre_m)
                 & jnp.all(jnp.abs(dx[6:]) < eps)
             )
+            # stagnation exit: once the pose increment stops shrinking the
+            # f32 iteration is at its noise floor — the reference's exact
+            # thresholds assume float64 and may be unreachable; further
+            # iterations only jitter (pose kept, ~identical result)
+            step = rot_rad + tran_m
+            stalled = (i >= 10) & (step >= prev_step)
             low_valid = (n_valid / n_total < min_valid_ratio) & (
                 i == max_iteration - 1
             )
-            return (i + 1, rot, pos, rest, KH, n_valid, converged | low_valid,
-                    ~low_valid)
+            return (
+                i + 1, rot, pos, rest, KH, n_valid,
+                converged | low_valid | stalled, ~low_valid, step,
+            )
 
         init = (
             jnp.zeros((), jnp.int32),
@@ -455,8 +463,9 @@ def make_update_iterated_fn(
             jnp.zeros(()),
             jnp.zeros((), bool),
             jnp.ones((), bool),
+            jnp.full((), jnp.inf),
         )
-        i, rot, pos, rest, KH, n_valid, _, ok = jax.lax.while_loop(
+        i, rot, pos, rest, KH, n_valid, _, ok, _ = jax.lax.while_loop(
             cond, body, init
         )
         # final low-validity check mirrors the reference (flag only
