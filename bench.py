@@ -24,7 +24,10 @@ def main():
     from clid_slam_tpu.pipeline.synthetic import generate_sequence
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    warmup = 5
+    # warmup must cover the first pool-filter frame (frame 9 with
+    # pool_filter_freq=10) so both prep executables are compiled before
+    # measurement starts
+    warmup = 10
 
     cfg = Config()
     cfg.voxel_size_m = 0.4
@@ -92,7 +95,8 @@ def main():
     m = metrics.absolute_error(est, seq.poses[:n_frames], align=False)
     print(f"# ATE RMSE: {m['ate_rmse_m']:.4f} m", file=sys.stderr)
 
-    mean_t = float(np.mean(frame_times))
+    # median: robust to stray one-time compiles / shared-TPU hiccups
+    mean_t = float(np.median(frame_times))
     fps = 1.0 / mean_t
     print(
         json.dumps(
@@ -102,7 +106,7 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(fps / 10.0, 3),
                 "extra": {
-                    "mean_frame_ms": round(mean_t * 1e3, 2),
+                    "median_frame_ms": round(mean_t * 1e3, 2),
                     "ate_rmse_m": round(m["ate_rmse_m"], 4),
                     "neural_points": int(system.map_state.count),
                     "device": str(jax.devices()[0]),
