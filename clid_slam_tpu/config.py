@@ -157,6 +157,11 @@ class Config:
     weight_decay: float = 0.0
     adam_eps: float = 1e-15
     adaptive_iters: bool = False
+    lr_pose: float = 1e-4
+    ba_freq_frame: int = 0  # 0 = BA off (reference utils/config.py:244)
+    ba_frame: int = 50  # sliding window size
+    ba_iters: int = 80
+    ba_bs: int = 16384
     new_sample_ratio_less: float = 0.02
     new_sample_ratio_more: float = 0.15
     new_sample_ratio_restart: float = 0.3
@@ -418,6 +423,11 @@ class Config:
         )
         c.bs = o.get("batch_size", c.bs)
         c.lr = float(o.get("learning_rate", c.lr))
+        c.ba_freq_frame = o.get("ba_freq_frame", c.ba_freq_frame)
+        c.ba_frame = o.get("ba_local_frame", c.ba_frame)
+        c.lr_pose = float(o.get("lr_pose_ba", c.lr_pose))
+        c.ba_iters = int(o.get("ba_iters", c.ba_iters))
+        c.ba_bs = int(o.get("ba_bs", c.ba_bs))
 
         e = args.get("eval", {}) or {}
         c.wandb_vis_on = e.get("wandb_vis_on", c.wandb_vis_on)

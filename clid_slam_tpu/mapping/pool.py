@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 class ReplayPool(NamedTuple):
     coords: jnp.ndarray  # [P,3] world-frame sample coords
+    coords_local: jnp.ndarray  # [P,3] sensor-frame coords (for BA re-transform)
     sdf: jnp.ndarray  # [P]
     weight: jnp.ndarray  # [P]
     ts: jnp.ndarray  # [P] i32 frame id
@@ -43,6 +44,7 @@ def init_pool(
 ) -> ReplayPool:
     return ReplayPool(
         coords=jnp.zeros((capacity, 3), jnp.float32),
+        coords_local=jnp.zeros((capacity, 3), jnp.float32),
         sdf=jnp.zeros((capacity,), jnp.float32),
         weight=jnp.zeros((capacity,), jnp.float32),
         ts=jnp.zeros((capacity,), jnp.int32),
@@ -75,6 +77,7 @@ def filter_pool(
     n = jnp.sum(keep.astype(jnp.int32))
     return ReplayPool(
         coords=compact(pool.coords),
+        coords_local=compact(pool.coords_local),
         sdf=compact(pool.sdf),
         weight=compact(pool.weight),
         ts=compact(pool.ts),
@@ -97,6 +100,7 @@ def append_samples(
     is_new: jnp.ndarray,  # [M] bool novelty flags (certainty+label gated)
     color=None,  # [M,C] or None
     sem=None,  # [M] i32 or None
+    coords_local=None,  # [M,3] sensor-frame coords
 ) -> ReplayPool:
     p = pool.coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -106,6 +110,11 @@ def append_samples(
     slot = jnp.where(write, dst, p)
 
     coords_arr = pool.coords.at[slot].set(coords, mode="drop")
+    coords_local_arr = (
+        pool.coords_local.at[slot].set(coords_local, mode="drop")
+        if coords_local is not None
+        else pool.coords_local
+    )
     sdf_arr = pool.sdf.at[slot].set(sdf, mode="drop")
     weight_arr = pool.weight.at[slot].set(weight, mode="drop")
     ts_arr = pool.ts.at[slot].set(jnp.asarray(frame_id, jnp.int32), mode="drop")
@@ -132,6 +141,7 @@ def append_samples(
 
     return ReplayPool(
         coords=coords_arr,
+        coords_local=coords_local_arr,
         sdf=sdf_arr,
         weight=weight_arr,
         ts=ts_arr,

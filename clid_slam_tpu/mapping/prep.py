@@ -150,6 +150,7 @@ def make_prep_fn(
             is_new,
             color=batch.color if colors is not None else None,
             sem=batch.sem if sem_labels is not None else None,
+            coords_local=batch.coords,
         )
         return PrepResult(
             map_state,

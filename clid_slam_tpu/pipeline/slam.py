@@ -193,6 +193,25 @@ class SlamSystem:
         )
         self.adaptive_iter_offset = 0
         self._prep_fns = {}
+        self._ba_fn = None
+        if cfg.ba_freq_frame > 0:
+            from ..mapping.bundle_adjustment import make_ba_fn
+
+            self._ba_fn = make_ba_fn(
+                feature_dim=cfg.feature_dim,
+                knn_k=cfg.query_nn_k,
+                nb_offs=self.nb_offs,
+                resolution=cfg.voxel_size_m,
+                max_valid_dist2=self.max_valid_dist2,
+                sdf_scale=cfg.sdf_scale,
+                window_size=cfg.ba_frame,
+                ba_bs=cfg.ba_bs,
+                lr_pose=cfg.lr_pose,
+                lr_map=cfg.lr,
+                adam_eps=cfg.adam_eps,
+                mlp_leaky=cfg.mlp_leaky_relu,
+                mlp_bf16=cfg.mlp_bf16,
+            )
         self._dyn_filter = None
         if cfg.dynamic_filter_on:
             from ..mapping.dynamic_filter import make_dynamic_filter_fn
@@ -437,6 +456,12 @@ class SlamSystem:
 
         if frame_id % cfg.mapping_freq_frame == 0:
             st.sdf_loss, st.eik_loss, st.iters = self._map_opt(frame_id)
+        if (
+            self._ba_fn is not None
+            and frame_id >= cfg.ba_frame
+            and (frame_id + 1) % cfg.ba_freq_frame == 0
+        ):
+            self._bundle_adjust(frame_id)
         t4 = time.perf_counter()
 
         st.timings = {
@@ -452,6 +477,44 @@ class SlamSystem:
         d.processed_frame += 1
         self.stats.append(st)
         return st
+
+    # ---------------------------------------------------------------- BA
+    def _bundle_adjust(self, frame_id: int):
+        """Sliding-window pose+feature refinement (utils/mapper.py:866-965);
+        afterwards the pool's world coords are rebuilt from the corrected
+        poses (the reference's ba_done_flag path, utils/mapper.py:323-327)."""
+        cfg = self.cfg
+        d = self.dataset
+        w = cfg.ba_frame
+        lo = frame_id - w + 1
+        poses0 = jnp.asarray(d.odom_poses[lo : frame_id + 1], jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        self.map_state, new_poses, ba_loss = self._ba_fn(
+            self.map_state,
+            self.mlp,
+            self.pool,
+            poses0,
+            lo,
+            self.travel_dist_dev,
+            frame_id,
+            cfg.diff_travel_dist_local,
+            k,
+            cfg.ba_iters,
+        )
+        new_poses = np.asarray(new_poses, np.float64)
+        d.odom_poses[lo : frame_id + 1] = new_poses
+        d.cur_pose_ref = new_poses[-1]
+        d.last_pose_ref = new_poses[-1]
+        # rebuild pool world coords from the corrected trajectory
+        all_poses = jnp.asarray(
+            d.odom_poses[: self.total_frames], jnp.float32
+        )
+        T = all_poses[jnp.clip(self.pool.ts, 0)]
+        coords = (
+            jnp.einsum("bij,bj->bi", T[:, :3, :3], self.pool.coords_local)
+            + T[:, :3, 3]
+        )
+        self.pool = self.pool._replace(coords=coords)
 
     # ------------------------------------------------------------ finalize
     def finalize(self, run_path: str) -> dict:

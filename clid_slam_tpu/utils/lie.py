@@ -35,13 +35,16 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: so(3) vector [..., 3] -> rotation matrix [..., 3, 3].
 
-    Small-angle: sin θ/θ → 1, (1-cos θ)/θ² → 1/2 (Taylor, branch-free).
+    Small-angle: sin θ/θ → 1, (1-cos θ)/θ² → 1/2 (Taylor). The untaken
+    branch of each jnp.where is evaluated at θ²=1 so its *gradient* stays
+    finite at θ=0 (0·inf = NaN otherwise — the classic where pitfall).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-12
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(1e-24))
+    t2s = jnp.where(small, 1.0, theta2)  # gradient-safe branch input
+    ts = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(ts) / ts)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
@@ -64,10 +67,12 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
     small = jnp.abs(theta) < 1e-4
+    theta_s = jnp.where(small, 1.0, theta)  # gradient-safe branch input
     scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, 0.5 * theta / (sin_theta + _EPS)
+        small,
+        0.5 + theta * theta / 12.0,
+        0.5 * theta_s / (jnp.sin(theta_s) + _EPS),
     )
     return scale[..., None] * w
 
@@ -92,13 +97,14 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
     """se(3) [..., 6] (rot first, then trans) -> [..., 4, 4]."""
     w, u = tau[..., :3], tau[..., 3:]
     R = so3_exp(w)
-    # left Jacobian V
+    # left Jacobian V (gradient-safe branches, see so3_exp)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-12
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1 - jnp.cos(theta)) / theta2.clip(1e-24))
+    t2s = jnp.where(small, 1.0, theta2)
+    ts = jnp.sqrt(t2s)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1 - jnp.cos(ts)) / t2s)
     c = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta).clip(1e-24)
+        small, 1.0 / 6.0 - theta2 / 120.0, (ts - jnp.sin(ts)) / (t2s * ts)
     )
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), W.shape)
@@ -117,16 +123,16 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     t = T[..., :3, 3]
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-12
+    t2s = jnp.where(small, 1.0, theta2)
+    ts = jnp.sqrt(t2s)
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/θ² - (1+cos θ)/(2 θ sin θ)) W²
     coef = jnp.where(
         small,
         1.0 / 12.0,
-        (1.0 / theta2.clip(1e-24))
-        - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta) + _EPS),
+        1.0 / t2s - (1.0 + jnp.cos(ts)) / (2.0 * ts * jnp.sin(ts) + _EPS),
     )
     Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
     u = jnp.einsum("...ij,...j->...i", Vinv, t)
