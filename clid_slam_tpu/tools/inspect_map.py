@@ -42,6 +42,9 @@ def main(argv=None):
         positions=jnp.asarray(z["positions"]),
         quats=jnp.asarray(z["quats"]),
         geo_feats=jnp.asarray(z["geo_feats"]),
+        color_feats=jnp.asarray(z["color_feats"])
+        if "color_feats" in z
+        else jnp.zeros((z["geo_feats"].shape[0], 1), jnp.float32),
         certainty=jnp.asarray(z["certainty"]),
         ts_create=jnp.asarray(z["ts_create"]),
         ts_update=jnp.asarray(z["ts_update"]),

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _outer(w: jnp.ndarray) -> jnp.ndarray:
+    """w wᵀ as a broadcast multiply — NOT a matmul. On TPU, 3x3 dot_general
+    defaults to bf16 inputs on the MXU (≈1e-3 relative error, enough to
+    break so3_log near θ=π); broadcasting stays on the VPU in full f32.
+    Identity used below: W@W = w wᵀ − (wᵀw) I for W = skew(w)."""
+    return w[..., :, None] * w[..., None, :]
+
+
+def _matvec3(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[...,3,3] @ [...,3] via multiply+reduce (VPU f32, not bf16 MXU)."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 def skew(v: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] -> [..., 3, 3] skew-symmetric matrix [v]_x."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
@@ -47,7 +60,12 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    bb = b[..., None, None]
+    return (
+        (1.0 - bb * theta2[..., None, None]) * I
+        + a[..., None, None] * W
+        + bb * _outer(w)
+    )
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -87,7 +105,8 @@ def so3_jacobian_right_T(v: jnp.ndarray) -> jnp.ndarray:
     t2 = jnp.where(small, 1.0 / 6.0, (1.0 - jnp.sin(n) / n) / n2.clip(1e-24))
     S = skew(v)
     I = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), S.shape)
-    return I + t1[..., None, None] * S + t2[..., None, None] * (S @ S)
+    tt2 = t2[..., None, None]
+    return (1.0 - tt2 * n2[..., None, None]) * I + t1[..., None, None] * S + tt2 * _outer(v)
 
 
 # ---------------------------------------------------------------- SE(3)
@@ -108,8 +127,9 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
     )
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), W.shape)
-    V = I + b[..., None, None] * W + c[..., None, None] * (W @ W)
-    t = jnp.einsum("...ij,...j->...i", V, u)
+    cc = c[..., None, None]
+    V = (1.0 - cc * theta2[..., None, None]) * I + b[..., None, None] * W + cc * _outer(w)
+    t = _matvec3(V, u)
     T = jnp.zeros(tau.shape[:-1] + (4, 4), dtype=tau.dtype)
     T = T.at[..., :3, :3].set(R)
     T = T.at[..., :3, 3].set(t)
@@ -134,8 +154,9 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
         1.0 / 12.0,
         1.0 / t2s - (1.0 + jnp.cos(ts)) / (2.0 * ts * jnp.sin(ts) + _EPS),
     )
-    Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
-    u = jnp.einsum("...ij,...j->...i", Vinv, t)
+    cf = coef[..., None, None]
+    Vinv = (1.0 - cf * theta2[..., None, None]) * I - 0.5 * W + cf * _outer(w)
+    u = _matvec3(Vinv, t)
     return jnp.concatenate([w, u], axis=-1)
 
 

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize hook registers the remote-TPU PJRT plugin at
+# interpreter start and sets jax_platforms="axon,cpu", overriding the env
+# var above — undo it at the config level before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
