@@ -41,6 +41,7 @@ class Mesher:
         chunk_dim: int = 48,
         mlp_leaky: bool = False,
         mlp_bf16: bool = False,
+        feature_dim: int = 8,
     ):
         self.chunk_dim = int(chunk_dim)
         self.mesh_min_nn = mesh_min_nn
@@ -54,6 +55,33 @@ class Mesher:
             sdf = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
             return sdf, ok
+
+        @jax.jit
+        def color_chunk(map_state, color_mlp, pts, valid_in):
+            """Vertex color regression (utils/mesher.py:425-443 semantics):
+            same kNN query, color-feature slab, sigmoid color head."""
+            q = nm.query_feature(
+                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k
+            )
+            cfeat = nm.query_color_feature(map_state, q, feature_dim)
+            color = dec.regress_color(
+                color_mlp, cfeat, leaky=mlp_leaky, bf16=mlp_bf16
+            )
+            ok = valid_in & (q.nn_count >= mesh_min_nn)
+            return color, ok
+
+        @jax.jit
+        def sem_chunk(map_state, sem_mlp, pts, valid_in):
+            """Vertex semantic argmax (utils/mesher.py:401-423 semantics)."""
+            q = nm.query_feature(
+                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k
+            )
+            logp = dec.sem_label_prob(
+                sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16
+            )
+            labels = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            ok = valid_in & (q.nn_count >= mesh_min_nn)
+            return labels, ok
 
         @partial(jax.jit, static_argnames=())
         def mesh_chunk(map_state, mlp, origin, mc_res, valid_in):
@@ -70,6 +98,8 @@ class Mesher:
             return tris, tri_ok
 
         self._query_chunk = query_chunk
+        self._color_chunk = color_chunk
+        self._sem_chunk = sem_chunk
         self._mesh_chunk = mesh_chunk
 
     # ------------------------------------------------------------- meshing
@@ -115,6 +145,55 @@ class Mesher:
         tri_soup = np.concatenate(all_tris, 0)  # [T,3,3]
         return _weld_mesh(tri_soup, mc_res, min_cluster_vertices)
 
+    # ------------------------------------------------- vertex attributes
+    def _query_attr(self, chunk_fn, map_state, mlp, pts, fill):
+        """Run a jitted per-chunk attribute query over arbitrary points in
+        fixed-size padded batches."""
+        cd3 = self.chunk_dim**3
+        n = len(pts)
+        if n == 0:
+            return (
+                np.zeros((0,) + np.shape(fill), np.asarray(fill).dtype),
+                np.zeros(0, bool),
+            )
+        n_pad = ((n + cd3 - 1) // cd3) * cd3
+        buf = np.zeros((n_pad, 3), np.float32)
+        buf[:n] = pts
+        outs, oks = [], []
+        for i in range(0, n_pad, cd3):
+            valid = jnp.asarray(np.arange(i, i + cd3) < n)
+            o, ok = chunk_fn(map_state, mlp, jnp.asarray(buf[i : i + cd3]), valid)
+            outs.append(np.asarray(o))
+            oks.append(np.asarray(ok))
+        return np.concatenate(outs)[:n], np.concatenate(oks)[:n]
+
+    def estimate_vertex_colors(
+        self, map_state, color_mlp, verts: np.ndarray, color_channel: int = 3
+    ) -> np.ndarray:
+        """Per-vertex color in [0,1] (utils/mesher.py:425-443). Intensity
+        maps (color_channel=1) are doubled and replicated to gray like the
+        reference."""
+        color, ok = self._query_attr(
+            self._color_chunk, map_state, color_mlp, verts, np.zeros(3)
+        )
+        if color_channel == 1:
+            color = np.repeat(np.clip(color[:, :1] * 2.0, 0, 1), 3, axis=1)
+        else:
+            color = np.clip(color[:, :3], 0, 1)
+        color[~ok] = 0.5
+        return color
+
+    def estimate_vertex_sem(
+        self, map_state, sem_mlp, verts: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-vertex semantic labels + keep-mask; label 0 = free space is
+        filtered like the reference (utils/mesher.py:418-421)."""
+        labels, ok = self._query_attr(
+            self._sem_chunk, map_state, sem_mlp, verts, np.int32(0)
+        )
+        keep = ok & (labels > 0)
+        return labels, keep
+
     # ------------------------------------------------------------ SDF grid
     def query_sdf_points(
         self, map_state, mlp, pts: np.ndarray
@@ -157,6 +236,53 @@ class Mesher:
         ).astype(np.float32)
         sdf, ok = self.query_sdf_points(map_state, mlp, pts)
         return pts, sdf, ok
+
+
+def filter_mesh_vertices(
+    verts: np.ndarray, tris: np.ndarray, keep: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Drop masked-out vertices and every triangle touching one
+    (o3d remove_vertices_by_mask equivalent, utils/mesher.py:419-421).
+    Returns (verts, tris, old->kept vertex index of survivors)."""
+    keep = np.asarray(keep, bool)
+    remap = np.full(len(verts), -1, np.int64)
+    kept_idx = np.flatnonzero(keep)
+    remap[kept_idx] = np.arange(len(kept_idx))
+    tri_keep = keep[tris].all(-1)
+    return verts[keep], remap[tris[tri_keep]], kept_idx
+
+
+# SemanticKITTI label palette (BGR in the dataset spec; stored here as RGB
+# in [0,1]) for the 20-class remapped training ids — the public color
+# convention used by the reference's sem_kitti_color_map.
+SEM_KITTI_COLORS = (
+    np.array(
+        [
+            (0, 0, 0),  # 0 unlabeled / free space
+            (100, 150, 245),  # 1 car
+            (100, 230, 245),  # 2 bicycle
+            (30, 60, 150),  # 3 motorcycle
+            (80, 30, 180),  # 4 truck
+            (0, 0, 255),  # 5 other-vehicle
+            (255, 30, 30),  # 6 person
+            (255, 40, 200),  # 7 bicyclist
+            (150, 30, 90),  # 8 motorcyclist
+            (255, 0, 255),  # 9 road
+            (255, 150, 255),  # 10 parking
+            (75, 0, 75),  # 11 sidewalk
+            (175, 0, 75),  # 12 other-ground
+            (255, 200, 0),  # 13 building
+            (255, 120, 50),  # 14 fence
+            (0, 175, 0),  # 15 vegetation
+            (135, 60, 0),  # 16 trunk
+            (150, 240, 80),  # 17 terrain
+            (255, 240, 150),  # 18 pole
+            (255, 0, 0),  # 19 traffic-sign
+        ],
+        np.float64,
+    )
+    / 255.0
+)
 
 
 def _weld_mesh(

@@ -40,6 +40,32 @@ from ..utils.transforms import transform_points
 from .dataset import SLAMDataset
 
 
+def _mlp_arrays(prefix: str, mlp: dec.MLPParams) -> dict:
+    """Flatten an MLPParams (any depth) into npz-friendly named arrays."""
+    out = {}
+    for i, (w, b) in enumerate(zip(mlp.weights, mlp.biases)):
+        out[f"{prefix}_w{i}"] = np.asarray(w)
+        out[f"{prefix}_b{i}"] = np.asarray(b)
+    out[f"{prefix}_w_out"] = np.asarray(mlp.w_out)
+    out[f"{prefix}_b_out"] = np.asarray(mlp.b_out)
+    return out
+
+
+def _mlp_from_arrays(prefix: str, z) -> dec.MLPParams:
+    ws, bs = [], []
+    i = 0
+    while f"{prefix}_w{i}" in z:
+        ws.append(jnp.asarray(z[f"{prefix}_w{i}"]))
+        bs.append(jnp.asarray(z[f"{prefix}_b{i}"]))
+        i += 1
+    return dec.MLPParams(
+        weights=ws,
+        biases=bs,
+        w_out=jnp.asarray(z[f"{prefix}_w_out"]),
+        b_out=jnp.asarray(z[f"{prefix}_b_out"]),
+    )
+
+
 @dataclass
 class FrameStats:
     frame_id: int = 0
@@ -190,6 +216,7 @@ class SlamSystem:
             mesh_min_nn=cfg.mesh_min_nn,
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
+            feature_dim=cfg.feature_dim,
         )
         self.adaptive_iter_offset = 0
         self._prep_fns = {}
@@ -539,7 +566,27 @@ class SlamSystem:
                 cfg.pad_voxel,
                 cfg.min_cluster_vertices,
             )
-            io.write_ply_mesh(os.path.join(run_path, "mesh.ply"), v, t)
+            colors = None
+            if cfg.semantic_on:
+                # semantic vertex labels; free-space vertices dropped
+                # (utils/mesher.py:401-423 semantics)
+                from ..mesher import SEM_KITTI_COLORS, filter_mesh_vertices
+
+                labels, keep = self.mesher.estimate_vertex_sem(
+                    self.map_state, self.sem_mlp, v
+                )
+                v, t, kept = filter_mesh_vertices(v, t, keep)
+                palette = SEM_KITTI_COLORS[
+                    np.clip(labels[kept], 0, len(SEM_KITTI_COLORS) - 1)
+                ]
+                colors = palette
+            elif cfg.color_on:
+                colors = self.mesher.estimate_vertex_colors(
+                    self.map_state, self.color_mlp, v, cfg.color_channel
+                )
+            io.write_ply_mesh(
+                os.path.join(run_path, "mesh.ply"), v, t, colors=colors
+            )
             result["mesh_vertices"] = len(v)
         if cfg.save_merged_pc and self.dataset.total_pc_count > 0:
             out = self.dataset.write_merged_point_cloud(run_path)
@@ -576,6 +623,8 @@ class SlamSystem:
             mlp_biases=np.asarray(self.mlp.biases[0]),
             mlp_w_out=np.asarray(self.mlp.w_out),
             mlp_b_out=np.asarray(self.mlp.b_out),
+            **_mlp_arrays("color_mlp", self.color_mlp),
+            **_mlp_arrays("sem_mlp", self.sem_mlp),
             pool_coords=np.asarray(self.pool.coords),
             pool_sdf=np.asarray(self.pool.sdf),
             pool_weight=np.asarray(self.pool.weight),
@@ -617,6 +666,10 @@ class SlamSystem:
             w_out=jnp.asarray(z["mlp_w_out"]),
             b_out=jnp.asarray(z["mlp_b_out"]),
         )
+        if "color_mlp_w0" in z:
+            self.color_mlp = _mlp_from_arrays("color_mlp", z)
+        if "sem_mlp_w0" in z:
+            self.sem_mlp = _mlp_from_arrays("sem_mlp", z)
         self.pool = self.pool._replace(
             coords=jnp.asarray(z["pool_coords"]),
             sdf=jnp.asarray(z["pool_sdf"]),
