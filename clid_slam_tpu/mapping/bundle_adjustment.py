@@ -47,6 +47,7 @@ def make_ba_fn(
     adam_eps: float = 1e-15,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    rotate_vecs: bool = False,
 ):
     @partial(jax.jit, donate_argnums=(0,))
     def bundle_adjust(
@@ -85,7 +86,7 @@ def make_ba_fn(
             st = map_state._replace(geo_feats=feats)
             q = nm.query_feature(
                 st, pts, nb_offs, resolution, max_valid_dist2, knn_k,
-                travel_dist, cur_ts, window, True,
+                travel_dist, cur_ts, window, True, rotate_vecs=rotate_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16

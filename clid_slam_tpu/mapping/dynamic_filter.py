@@ -29,6 +29,7 @@ def make_dynamic_filter_fn(
     type_2_on: bool = True,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    rotate_vecs: bool = False,
 ):
     @jax.jit
     def static_mask(
@@ -43,7 +44,7 @@ def make_dynamic_filter_fn(
         def sdf_sum(pts):
             q = nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
-                travel_dist, cur_ts, window, True,
+                travel_dist, cur_ts, window, True, rotate_vecs=rotate_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16

@@ -72,6 +72,7 @@ def make_mapping_fn(
     weight_s: float = 1.0,
     surface_sample_range_m: float = 0.25,
     freespace_label_on: bool = False,
+    rotate_vecs: bool = False,
 ):
     """Build the jitted per-frame map optimization function.
 
@@ -95,6 +96,7 @@ def make_mapping_fn(
             cur_ts,
             window,
             True,
+            rotate_vecs=rotate_vecs,
         )
         pred = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
         return pred, q

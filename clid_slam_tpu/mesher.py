@@ -42,6 +42,7 @@ class Mesher:
         mlp_leaky: bool = False,
         mlp_bf16: bool = False,
         feature_dim: int = 8,
+        rotate_vecs: bool = False,
     ):
         self.chunk_dim = int(chunk_dim)
         self.mesh_min_nn = mesh_min_nn
@@ -50,7 +51,8 @@ class Mesher:
         @jax.jit
         def query_chunk(map_state, mlp, pts, valid_in):
             q = nm.query_feature(
-                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k
+                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
+                rotate_vecs=rotate_vecs,
             )
             sdf = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
@@ -61,7 +63,8 @@ class Mesher:
             """Vertex color regression (utils/mesher.py:425-443 semantics):
             same kNN query, color-feature slab, sigmoid color head."""
             q = nm.query_feature(
-                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k
+                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
+                rotate_vecs=rotate_vecs,
             )
             cfeat = nm.query_color_feature(map_state, q, feature_dim)
             color = dec.regress_color(
@@ -74,7 +77,8 @@ class Mesher:
         def sem_chunk(map_state, sem_mlp, pts, valid_in):
             """Vertex semantic argmax (utils/mesher.py:401-423 semantics)."""
             q = nm.query_feature(
-                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k
+                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
+                rotate_vecs=rotate_vecs,
             )
             logp = dec.sem_label_prob(
                 sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16

@@ -235,6 +235,7 @@ def query_feature(
     cur_ts=0,
     diff_travel_dist_local=1e9,
     time_filtering: bool = False,
+    rotate_vecs: bool = False,
 ) -> QueryResult:
     """kNN feature interpolation (model/neural_points.py:553-769,
     weighted_first mode). Differentiable wrt ``points`` and
@@ -278,6 +279,15 @@ def query_feature(
     feats = jnp.where(valid[..., None], feats, 0.0)
     nb_pos = jnp.take_along_axis(mir, sel[..., None], axis=1)[..., :3]
     vecs = points[:, None, :] - nb_pos
+    if rotate_vecs:
+        # after a PGO/BA map adjustment the stored per-point quaternion is
+        # the accumulated pose correction; express the relative vector in
+        # the point's original frame via the conjugate (passive) rotation
+        # (model/neural_points.py:666-671 + utils/tools.py:484-493)
+        q = state.quats[safe] * jnp.array([1.0, -1.0, -1.0, -1.0])
+        w, u = q[..., :1], q[..., 1:]
+        uv = jnp.cross(u, vecs)
+        vecs = vecs + 2.0 * (w * uv + jnp.cross(u, uv))
     vecs = jnp.where(valid[..., None], vecs, 0.0)
 
     # IDW over squared distance (model/neural_points.py:688-706)
@@ -402,21 +412,9 @@ def prune_and_rehash(
     ts_update = compact(state.ts_update, 0)
     new_count = jnp.sum(keep.astype(jnp.int32))
 
-    # rebuild hash + mirror over surviving points
-    hsize = state.hash_table.shape[0]
-    g = grid_coords(positions, resolution)
-    h = voxel_hash(g, hsize)
-    live_new = jnp.arange(cap + 1) < new_count
-    slot_h = jnp.where(live_new, h, hsize)
-    hash_table = jnp.full((hsize,), -1, jnp.int32)
-    hash_table = hash_table.at[slot_h].set(
-        jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
-    )
-    travel_at_create = travel_dist[jnp.clip(ts_create, 0)]
-    hash_mirror = jnp.full((hsize, 4), _EMPTY_POS, jnp.float32)
-    hash_mirror = hash_mirror.at[slot_h].set(
-        jnp.concatenate([positions, travel_at_create[:, None]], axis=1),
-        mode="drop",
+    hash_table, hash_mirror = _rebuild_hash(
+        positions, ts_create, new_count, travel_dist, resolution,
+        state.hash_table.shape[0],
     )
     return NeuralMapState(
         positions=positions,
@@ -427,6 +425,68 @@ def prune_and_rehash(
         ts_create=ts_create,
         ts_update=ts_update,
         count=new_count,
+        hash_table=hash_table,
+        hash_mirror=hash_mirror,
+    )
+
+
+def _rebuild_hash(positions, ts_create, count, travel_dist, resolution, hsize):
+    """Rebuild hash table + mirror over the first ``count`` points
+    (model/neural_points.py:840-929 semantics)."""
+    cap = positions.shape[0] - 1
+    g = grid_coords(positions, resolution)
+    h = voxel_hash(g, hsize)
+    live = jnp.arange(cap + 1) < count
+    slot_h = jnp.where(live, h, hsize)
+    hash_table = jnp.full((hsize,), -1, jnp.int32)
+    hash_table = hash_table.at[slot_h].set(
+        jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
+    )
+    travel_at_create = travel_dist[jnp.clip(ts_create, 0)]
+    hash_mirror = jnp.full((hsize, 4), _EMPTY_POS, jnp.float32)
+    hash_mirror = hash_mirror.at[slot_h].set(
+        jnp.concatenate([positions, travel_at_create[:, None]], axis=1),
+        mode="drop",
+    )
+    return hash_table, hash_mirror
+
+
+def adjust_map(
+    state: NeuralMapState,
+    pose_diff: jnp.ndarray,  # [T,4,4] per-frame pose corrections
+    travel_dist: jnp.ndarray,
+    resolution,
+    use_mid_ts: bool = True,
+) -> NeuralMapState:
+    """Apply per-frame pose corrections (from PGO / global BA) to the map
+    (model/neural_points.py:814-838): each point is transformed by the
+    correction of its (mid) timestamp, its stored orientation accumulates
+    the rotation, and the hash is rebuilt for the moved positions. Queries
+    issued afterwards must pass ``rotate_vecs=True`` so relative vectors
+    are expressed in each point's original frame."""
+    from ..utils import lie
+
+    cap = map_capacity(state)
+    ts = (
+        (state.ts_create + state.ts_update) // 2
+        if use_mid_ts
+        else state.ts_create
+    )
+    T = pose_diff[jnp.clip(ts, 0)]  # [C+1,4,4]
+    R, t = T[:, :3, :3], T[:, :3, 3]
+    live = (jnp.arange(cap + 1) < state.count)[:, None]
+    # VPU matvec (multiply+reduce) — bf16 MXU truncation would shift the map
+    moved = jnp.sum(R * state.positions[:, None, :], axis=-1) + t
+    positions = jnp.where(live, moved, state.positions)
+    dq = lie.rotmat_to_quat(R)
+    quats = jnp.where(live, lie.quat_multiply(dq, state.quats), state.quats)
+    hash_table, hash_mirror = _rebuild_hash(
+        positions, state.ts_create, state.count, travel_dist, resolution,
+        state.hash_table.shape[0],
+    )
+    return state._replace(
+        positions=positions,
+        quats=quats,
         hash_table=hash_table,
         hash_mirror=hash_mirror,
     )

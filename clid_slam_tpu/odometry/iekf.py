@@ -254,6 +254,7 @@ def make_h_reduce_fn(
     min_nn_count: int,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    rotate_vecs: bool = False,
 ):
     """Build the fused measurement reduction
     (utils/error_state_iekf.py:176-264 without the H[N,18] materialization).
@@ -290,6 +291,7 @@ def make_h_reduce_fn(
                 cur_ts,
                 window,
                 True,
+                rotate_vecs=rotate_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16
@@ -344,6 +346,7 @@ def make_update_iterated_fn(
     min_valid_ratio: float = 0.2,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    rotate_vecs: bool = False,
 ):
     """The ENTIRE iterated IESEKF update as one jitted device call.
 
@@ -372,6 +375,7 @@ def make_update_iterated_fn(
         min_nn_count=min_nn_count,
         mlp_leaky=mlp_leaky,
         mlp_bf16=mlp_bf16,
+        rotate_vecs=rotate_vecs,
     )
 
     term_rad = term_thre_deg * jnp.pi / 180.0

@@ -131,6 +131,43 @@ class SlamSystem:
         if cfg.load_model and cfg.model_path and os.path.isfile(cfg.model_path):
             self.load_decoder(cfg.model_path)
 
+        self.novelty_fn = mp.make_novelty_fn(
+            resolution=cfg.voxel_size_m,
+            new_certainty_thre=cfg.new_certainty_thre,
+            surface_sample_range_m=cfg.surface_sample_range_m,
+        )
+        self.tracker = iekf.IEKF(
+            iekf.IEKFConfig(
+                measurement_noise_covariance=cfg.measurement_noise_covariance,
+                bias_noise_covariance=cfg.bias_noise_covariance,
+                max_iteration=cfg.reg_iter_n,
+                term_thre_deg=cfg.reg_term_thre_deg,
+                term_thre_m=cfg.reg_term_thre_m,
+            ),
+            init_bg=cfg.init_bg,
+            init_ba=cfg.init_ba,
+            init_grav=cfg.init_gravity,
+        )
+        if total_frames == 0:
+            total_frames = 1024
+        self.dataset = SLAMDataset(
+            cfg, tracker=self.tracker, min_frames=total_frames
+        )
+        total_frames = max(self.dataset.total_pc_count, total_frames)
+        self.total_frames = total_frames
+        self.travel_dist_dev = jnp.zeros((total_frames,), jnp.float32)
+        self.adaptive_iter_offset = 0
+        self._build_query_fns(rotate_vecs=False)
+        self.stats: list = []
+
+    def _build_query_fns(self, rotate_vecs: bool):
+        """(Re)build every jitted function that queries the neural map.
+        ``rotate_vecs=True`` is the post-PGO mode: relative vectors are
+        expressed in each point's original frame via its stored quaternion
+        (model/neural_points.py:666-671)."""
+        cfg = self.cfg
+        self.after_pgo = rotate_vecs
+        self._prep_fns = {}
         self.mapping_fn = mp.make_mapping_fn(
             feature_dim=cfg.feature_dim,
             knn_k=cfg.query_nn_k,
@@ -154,11 +191,7 @@ class SlamSystem:
             weight_i=cfg.weight_i,
             weight_s=cfg.weight_s,
             surface_sample_range_m=cfg.surface_sample_range_m,
-        )
-        self.novelty_fn = mp.make_novelty_fn(
-            resolution=cfg.voxel_size_m,
-            new_certainty_thre=cfg.new_certainty_thre,
-            surface_sample_range_m=cfg.surface_sample_range_m,
+            rotate_vecs=rotate_vecs,
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(
             knn_k=cfg.query_nn_k,
@@ -171,6 +204,7 @@ class SlamSystem:
             min_nn_count=cfg.track_mask_query_nn_k,
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
+            rotate_vecs=rotate_vecs,
         )
         self.update_iterated_dev = iekf.make_update_iterated_fn(
             knn_k=cfg.query_nn_k,
@@ -186,27 +220,8 @@ class SlamSystem:
             term_thre_m=cfg.reg_term_thre_m,
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
+            rotate_vecs=rotate_vecs,
         )
-        self.tracker = iekf.IEKF(
-            iekf.IEKFConfig(
-                measurement_noise_covariance=cfg.measurement_noise_covariance,
-                bias_noise_covariance=cfg.bias_noise_covariance,
-                max_iteration=cfg.reg_iter_n,
-                term_thre_deg=cfg.reg_term_thre_deg,
-                term_thre_m=cfg.reg_term_thre_m,
-            ),
-            init_bg=cfg.init_bg,
-            init_ba=cfg.init_ba,
-            init_grav=cfg.init_gravity,
-        )
-        if total_frames == 0:
-            total_frames = 1024
-        self.dataset = SLAMDataset(
-            cfg, tracker=self.tracker, min_frames=total_frames
-        )
-        total_frames = max(self.dataset.total_pc_count, total_frames)
-        self.total_frames = total_frames
-        self.travel_dist_dev = jnp.zeros((total_frames,), jnp.float32)
         self.mesher = Mesher(
             knn_k=cfg.query_nn_k,
             nb_offs=self.nb_offs,
@@ -217,9 +232,8 @@ class SlamSystem:
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
             feature_dim=cfg.feature_dim,
+            rotate_vecs=rotate_vecs,
         )
-        self.adaptive_iter_offset = 0
-        self._prep_fns = {}
         self._ba_fn = None
         if cfg.ba_freq_frame > 0:
             from ..mapping.bundle_adjustment import make_ba_fn
@@ -238,6 +252,7 @@ class SlamSystem:
                 adam_eps=cfg.adam_eps,
                 mlp_leaky=cfg.mlp_leaky_relu,
                 mlp_bf16=cfg.mlp_bf16,
+                rotate_vecs=rotate_vecs,
             )
         self._dyn_filter = None
         if cfg.dynamic_filter_on:
@@ -253,8 +268,51 @@ class SlamSystem:
                 sdf_ratio_thre=cfg.dynamic_sdf_ratio_thre,
                 mlp_leaky=cfg.mlp_leaky_relu,
                 mlp_bf16=cfg.mlp_bf16,
+                rotate_vecs=rotate_vecs,
             )
-        self.stats: list = []
+
+    def adjust_map(self, corrected_poses: np.ndarray):
+        """Apply an externally optimized trajectory (PGO / offline global
+        BA) to the running system: transform the neural map by the per-frame
+        pose corrections (model/neural_points.py:814-838), write back the
+        corrected poses, rebuild pool world coordinates, and switch every
+        map query into post-PGO mode (quaternion-rotated relative vectors).
+        """
+        d = self.dataset
+        n = min(d.processed_frame, len(corrected_poses))
+        old = np.asarray(d.odom_poses[:n], np.float64)
+        corr = np.asarray(corrected_poses, np.float64)[:n]
+        diff = np.einsum("tij,tjk->tik", corr, np.linalg.inv(old))
+        diff_full = np.tile(
+            np.eye(4, dtype=np.float32), (self.total_frames, 1, 1)
+        )
+        diff_full[:n] = diff.astype(np.float32)
+        self.map_state = nm.adjust_map(
+            self.map_state,
+            jnp.asarray(diff_full),
+            self.travel_dist_dev,
+            self.cfg.voxel_size_m,
+        )
+        d.odom_poses[:n] = corr
+        d.cur_pose_ref = corr[-1]
+        d.last_pose_ref = corr[-1]
+        # rebuild pool world coords from the corrected trajectory (same as
+        # the BA write-back path)
+        all_poses = jnp.asarray(d.odom_poses[: self.total_frames], jnp.float32)
+        T = all_poses[jnp.clip(self.pool.ts, 0)]
+        coords = (
+            jnp.einsum("bij,bj->bi", T[:, :3, :3], self.pool.coords_local)
+            + T[:, :3, 3]
+        )
+        self.pool = self.pool._replace(coords=coords)
+        # local raw-point map is stale after a global correction: reset it
+        # (it refills from the next frames; reference resets the local map
+        # on pose jumps too, slam.py:167-181)
+        self.local_map = lm.init_local_map(
+            self.cfg.local_map_capacity, self.cfg.local_map_hash_size
+        )
+        if not self.after_pgo:
+            self._build_query_fns(rotate_vecs=True)
 
     # --------------------------------------------------------------- track
     def _track(self, frame_id: int) -> bool:

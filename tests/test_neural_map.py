@@ -207,3 +207,71 @@ def test_query_gradients_flow(rng):
     gq = jax.grad(loss_pts)(q)
     assert np.isfinite(np.asarray(gq)).all()
     assert float(jnp.abs(gq).sum()) > 0
+
+
+def test_adjust_map_identity_noop(rng):
+    pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+    state, _ = insert(make_map(), pts)
+    travel = jnp.zeros((16,), jnp.float32)
+    ident = jnp.tile(jnp.eye(4, dtype=jnp.float32), (16, 1, 1))
+    state2 = nm.adjust_map(state, ident, travel, RES)
+    np.testing.assert_allclose(
+        np.asarray(state2.positions), np.asarray(state.positions), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.hash_table), np.asarray(state.hash_table)
+    )
+
+
+def test_adjust_map_sdf_invariance(rng):
+    """Rigid-transforming the map and querying transformed points with
+    rotate_vecs=True must reproduce the original interpolated feature
+    (model/neural_points.py:814-838 + 666-671 contract)."""
+    from clid_slam_tpu.utils import lie
+
+    # isolated 4-point clusters, far apart: each query's kNN set is the
+    # whole cluster, so it cannot flip under the rotation-dependent
+    # probe-cell quantization (k=6 > 4 selects all of them)
+    centers = rng.uniform(-20, 20, size=(24, 3)).astype(np.float32)
+    pts = (
+        centers[:, None, :]
+        + rng.uniform(-0.4, 0.4, size=(24, 4, 3)).astype(np.float32)
+    ).reshape(-1, 3)
+    state, _ = insert(make_map(), pts)
+    state = state._replace(
+        geo_feats=jnp.asarray(
+            rng.normal(size=state.geo_feats.shape).astype(np.float32)
+        )
+    )
+    nb = neighbor_offsets(2, 0.5)
+    mvd2 = 3.0 * (3 * RES) ** 2
+    q = (centers + rng.uniform(-0.1, 0.1, size=centers.shape)).astype(
+        np.float32
+    )
+    res0 = nm.query_feature(state, jnp.asarray(q), nb, RES, mvd2, 6)
+
+    w = np.array([0.3, -0.2, 0.5])
+    R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t = np.array([1.5, -2.0, 0.7])
+    T = np.tile(np.eye(4, dtype=np.float32), (16, 1, 1))
+    T[:, :3, :3] = R.astype(np.float32)
+    T[:, :3, 3] = t.astype(np.float32)
+    travel = jnp.zeros((16,), jnp.float32)
+    state2 = nm.adjust_map(state, jnp.asarray(T), travel, RES)
+    q2 = (q @ R.T + t).astype(np.float32)
+    res1 = nm.query_feature(
+        state2, jnp.asarray(q2), nb, RES, mvd2, 6, rotate_vecs=True
+    )
+    # Re-voxelization after the transform can merge two points into one
+    # hash bucket (inherent to voxel-hash storage; the reference's rebuilt
+    # hash drops such duplicates too) — the invariance contract applies to
+    # queries whose neighbor sets survive intact.
+    n0 = np.asarray(res0.nn_count)
+    n1 = np.asarray(res1.nn_count)
+    both = (n0 > 0) & (n0 == n1)
+    assert both.sum() > 16
+    np.testing.assert_allclose(
+        np.asarray(res1.feature)[both],
+        np.asarray(res0.feature)[both],
+        atol=2e-4,
+    )

@@ -130,3 +130,44 @@ def test_checkpoint_roundtrip(tmp_path, seq):
     for i in range(4, 8):
         st = system2.process_frame(i, seq.scans[i], seq.imu_windows[i])
         assert st.tracking_ok
+
+
+def test_adjust_map_keeps_tracking(seq):
+    """Apply a PGO-style global pose correction mid-run: the map is
+    rigidly moved with the corrected trajectory, queries switch into
+    rotate_vecs mode, and tracking continues against the adjusted map
+    (model/neural_points.py:814-838 + slam.py PGO plumbing)."""
+    cfg = tiny_config()
+    system = SlamSystem(cfg, total_frames=16)
+    w = 2 * np.pi / 20.0
+    system.tracker.x.pos = seq.poses[0][:3, 3].copy()
+    system.tracker.x.rot = seq.poses[0][:3, :3].copy()
+    system.tracker.x.vel = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+    for i in range(6):
+        st = system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+        assert st.tracking_ok
+
+    # correction: a small global rotation+shift applied to the trajectory
+    from clid_slam_tpu.utils import lie
+    import jax.numpy as jnp
+
+    D = np.eye(4)
+    D[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, 0.05])))
+    D[:3, 3] = [0.2, -0.1, 0.05]
+    corrected = np.einsum("ij,tjk->tik", D, system.dataset.odom_poses[:6])
+    # tracker state must follow the corrected frame too
+    system.tracker.x.rot = D[:3, :3] @ system.tracker.x.rot
+    system.tracker.x.pos = D[:3, :3] @ system.tracker.x.pos + D[:3, 3]
+    system.tracker.x.vel = D[:3, :3] @ system.tracker.x.vel
+    system.adjust_map(corrected)
+    assert system.after_pgo
+
+    for i in range(6, len(seq.scans)):
+        st = system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+        assert st.tracking_ok, f"tracking failed at frame {i} after adjust"
+
+    # estimated trajectory should now live in the corrected frame
+    est = system.dataset.odom_poses[: len(seq.scans)]
+    gt_corr = np.einsum("ij,tjk->tik", D, seq.poses)
+    m = metrics.absolute_error(est, gt_corr, align=False)
+    assert m["ate_rmse_m"] < 0.25, m
