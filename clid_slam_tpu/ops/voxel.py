@@ -157,12 +157,18 @@ def neighbor_hash_soa(
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
-def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> jnp.ndarray:
+def neighbor_offsets(num_nei_cells: int, search_alpha: float):
     """Static [K,3] int32 neighbor-cell offsets within the search sphere
     (semantics of model/neural_points.py:931-967: |dx|² < (cells+alpha)²).
 
     K for (cells=2, alpha=0.2/0.3/0.5/1.0) = 33/57/81/93, matching the
     reference's table.
+
+    Returns a NUMPY array on purpose: jitted functions close over it, and a
+    captured *device* array (committed jnp constant) knocks the axon TPU
+    runtime off its fast dispatch path session-wide (~30 ms added to every
+    subsequent executable run — measured r1). A numpy constant is embedded
+    in the HLO as a literal and stays fast.
     """
     import numpy as np
 
@@ -170,4 +176,4 @@ def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> jnp.ndarray:
     dx = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
     d2 = (dx**2).sum(-1)
     keep = d2 < (num_nei_cells + search_alpha) ** 2
-    return jnp.asarray(dx[keep], dtype=jnp.int32)
+    return np.asarray(dx[keep], dtype=np.int32)
