@@ -128,8 +128,11 @@ class Config:
     color_mlp_hidden_dim: int = 64
     decoder_freezed: bool = False
     freeze_after_frame: int = 40
-    pos_encoding_band: int = 0
+    pos_encoding_band: int = 0  # 0 = no encoding (reference utils/config.py:188)
     pos_input_dim: int = 3
+    use_gaussian_pe: bool = False
+    pos_encoding_freq: float = 200.0
+    pos_encoding_base: float = 2.0
 
     # ---- loss (reference utils/config.py:192-222) ----
     main_loss_type: str = "bce"
@@ -247,6 +250,16 @@ class Config:
         self.track_mask_query_nn_k = self.query_nn_k
 
     @property
+    def position_dim(self) -> int:
+        """Encoded relative-vector width appended to the interpolated
+        feature (reference model/decoder.py:28-31)."""
+        if self.pos_encoding_band <= 0:
+            return self.pos_input_dim
+        if self.use_gaussian_pe:
+            return self.pos_input_dim + 2 * self.pos_encoding_band
+        return self.pos_input_dim * (2 * self.pos_encoding_band + 1)
+
+    @property
     def all_sample_n(self) -> int:
         """Samples per ray: endpoint + surface + freespace front/behind."""
         return 1 + self.surface_sample_n + self.free_front_n + self.free_behind_n
@@ -359,6 +372,14 @@ class Config:
         c.geo_mlp_level = d.get("mlp_level", c.geo_mlp_level)
         c.geo_mlp_hidden_dim = d.get("mlp_hidden_dim", c.geo_mlp_hidden_dim)
         c.freeze_after_frame = d.get("freeze_after_frame", c.freeze_after_frame)
+        c.pos_encoding_band = d.get("pos_encoding_band", c.pos_encoding_band)
+        c.use_gaussian_pe = d.get("use_gaussian_pe", c.use_gaussian_pe)
+        c.pos_encoding_freq = float(
+            d.get("pos_encoding_freq", c.pos_encoding_freq)
+        )
+        c.pos_encoding_base = float(
+            d.get("pos_encoding_base", c.pos_encoding_base)
+        )
 
         lo = args.get("loss", {}) or {}
         c.main_loss_type = lo.get("main_loss_type", "bce")

@@ -48,6 +48,7 @@ def make_ba_fn(
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ):
     @partial(jax.jit, donate_argnums=(0,))
     def bundle_adjust(
@@ -87,6 +88,7 @@ def make_ba_fn(
             q = nm.query_feature(
                 st, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 travel_dist, cur_ts, window, True, rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16

@@ -30,6 +30,7 @@ def make_dynamic_filter_fn(
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ):
     @jax.jit
     def static_mask(
@@ -45,6 +46,7 @@ def make_dynamic_filter_fn(
             q = nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 travel_dist, cur_ts, window, True, rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16

@@ -73,6 +73,7 @@ def make_mapping_fn(
     surface_sample_range_m: float = 0.25,
     freespace_label_on: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ):
     """Build the jitted per-frame map optimization function.
 
@@ -97,6 +98,7 @@ def make_mapping_fn(
             window,
             True,
             rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
         )
         pred = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
         return pred, q

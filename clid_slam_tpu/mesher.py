@@ -43,6 +43,7 @@ class Mesher:
         mlp_bf16: bool = False,
         feature_dim: int = 8,
         rotate_vecs: bool = False,
+    encode_vecs=None,
     ):
         self.chunk_dim = int(chunk_dim)
         self.mesh_min_nn = mesh_min_nn
@@ -53,6 +54,7 @@ class Mesher:
             q = nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             sdf = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
@@ -65,6 +67,7 @@ class Mesher:
             q = nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             cfeat = nm.query_color_feature(map_state, q, feature_dim)
             color = dec.regress_color(
@@ -79,6 +82,7 @@ class Mesher:
             q = nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             logp = dec.sem_label_prob(
                 sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16

@@ -236,10 +236,15 @@ def query_feature(
     diff_travel_dist_local=1e9,
     time_filtering: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ) -> QueryResult:
     """kNN feature interpolation (model/neural_points.py:553-769,
     weighted_first mode). Differentiable wrt ``points`` and
-    ``state.geo_feats``."""
+    ``state.geo_feats``.
+
+    ``encode_vecs`` optionally positionally encodes each neighbor's relative
+    vector [N,k,3] -> [N,k,P] before IDW weighting
+    (model/neural_points.py:676-677); see ops/encoding.py."""
     cap = map_capacity(state)
     d2, h, pvalid, mir = neighborhood_probe(
         state,
@@ -288,6 +293,8 @@ def query_feature(
         w, u = q[..., :1], q[..., 1:]
         uv = jnp.cross(u, vecs)
         vecs = vecs + 2.0 * (w * uv + jnp.cross(u, uv))
+    if encode_vecs is not None:
+        vecs = encode_vecs(vecs)  # [N,k,P]
     vecs = jnp.where(valid[..., None], vecs, 0.0)
 
     # IDW over squared distance (model/neural_points.py:688-706)

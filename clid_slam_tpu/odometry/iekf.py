@@ -255,6 +255,7 @@ def make_h_reduce_fn(
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ):
     """Build the fused measurement reduction
     (utils/error_state_iekf.py:176-264 without the H[N,18] materialization).
@@ -292,6 +293,7 @@ def make_h_reduce_fn(
                 window,
                 True,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16
@@ -347,6 +349,7 @@ def make_update_iterated_fn(
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
+    encode_vecs=None,
 ):
     """The ENTIRE iterated IESEKF update as one jitted device call.
 
@@ -376,6 +379,7 @@ def make_update_iterated_fn(
         mlp_leaky=mlp_leaky,
         mlp_bf16=mlp_bf16,
         rotate_vecs=rotate_vecs,
+                encode_vecs=encode_vecs,
     )
 
     term_rad = term_thre_deg * jnp.pi / 180.0

@@ -60,6 +60,7 @@ def make_dp_mapping_fn(
     adam_eps: float,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    encode_vecs=None,
 ):
     """Data-parallel version of mapper.make_mapping_fn: same math, batch
     sharded over the mesh's dp axis via sharding constraints; XLA inserts
@@ -77,7 +78,7 @@ def make_dp_mapping_fn(
         st = map_state._replace(geo_feats=feats)
         q = nm.query_feature(
             st, pts, nb_offs, resolution, max_valid_dist2, knn_k,
-            travel_dist, cur_ts, window, True,
+            travel_dist, cur_ts, window, True, encode_vecs=encode_vecs,
         )
         pred = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
         return pred, q

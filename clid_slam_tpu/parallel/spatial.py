@@ -127,6 +127,7 @@ def _combined_query(
     cur_ts=0,
     window=1e9,
     time_filtering: bool = False,
+    encode_vecs=None,
 ) -> SpatialQueryResult:
     """nm.query_feature semantics over the union of all shards' points.
     Runs inside shard_map; differentiable wrt st.geo_feats (shard-local)."""
@@ -179,6 +180,8 @@ def _combined_query(
 
     nb_pos = jnp.take_along_axis(mir_c, sel[..., None], axis=1)[..., :3]
     vecs = points[:, None, :] - nb_pos
+    if encode_vecs is not None:
+        vecs = encode_vecs(vecs)
     vecs = jnp.where(valid_sel[..., None], vecs, 0.0)
 
     eps = 1e-15
@@ -214,6 +217,7 @@ def make_spatial_fns(
     adam_eps: float = 1e-15,
     mlp_leaky: bool = False,
     mlp_bf16: bool = False,
+    encode_vecs=None,
     axis: str = "sp",
 ):
     """Build (insert_fn, query_fn, mapping_fn) over the mesh's shard axis.
@@ -236,6 +240,7 @@ def make_spatial_fns(
     q_kw = dict(
         axis=axis, n_shards=S, nb_offs=nb_offs, resolution=resolution,
         max_valid_dist2=max_valid_dist2, knn_k=knn_k,
+        encode_vecs=encode_vecs,
     )
 
     @jax.jit

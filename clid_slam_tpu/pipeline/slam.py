@@ -34,6 +34,7 @@ from ..models import decoder as dec
 from ..models import local_map as lm
 from ..models import neural_map as nm
 from ..odometry import iekf
+from ..ops.encoding import make_encoder
 from ..ops.voxel import neighbor_offsets
 from ..utils import io
 from ..utils.transforms import transform_points
@@ -85,6 +86,14 @@ class SlamSystem:
         self.key = jax.random.PRNGKey(cfg.seed)
 
         self.nb_offs = neighbor_offsets(cfg.num_nei_cells, cfg.search_alpha)
+        self.encode_vecs, _ = make_encoder(
+            num_bands=cfg.pos_encoding_band,
+            freq=cfg.pos_encoding_freq,
+            base=cfg.pos_encoding_base,
+            use_gaussian=cfg.use_gaussian_pe,
+            input_dim=cfg.pos_input_dim,
+            seed=cfg.seed,
+        )
         self.max_valid_dist2 = (
             3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
         )
@@ -105,7 +114,7 @@ class SlamSystem:
         self.key, k = jax.random.split(self.key)
         self.mlp = dec.init_mlp(
             k,
-            cfg.feature_dim + 3,
+            cfg.feature_dim + cfg.position_dim,
             cfg.geo_mlp_hidden_dim,
             cfg.geo_mlp_level,
             1,
@@ -114,7 +123,7 @@ class SlamSystem:
         self.key, k1, k2 = jax.random.split(self.key, 3)
         self.color_mlp = dec.init_mlp(
             k1,
-            cfg.feature_dim + 3,
+            cfg.feature_dim + cfg.position_dim,
             cfg.color_mlp_hidden_dim,
             cfg.color_mlp_level,
             max(cfg.color_channel, 1),
@@ -122,7 +131,7 @@ class SlamSystem:
         )
         self.sem_mlp = dec.init_mlp(
             k2,
-            cfg.feature_dim + 3,
+            cfg.feature_dim + cfg.position_dim,
             cfg.sem_mlp_hidden_dim,
             cfg.sem_mlp_level,
             cfg.sem_class_count if cfg.semantic_on else 1,
@@ -192,6 +201,7 @@ class SlamSystem:
             weight_s=cfg.weight_s,
             surface_sample_range_m=cfg.surface_sample_range_m,
             rotate_vecs=rotate_vecs,
+            encode_vecs=self.encode_vecs,
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(
             knn_k=cfg.query_nn_k,
@@ -205,6 +215,7 @@ class SlamSystem:
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
             rotate_vecs=rotate_vecs,
+            encode_vecs=self.encode_vecs,
         )
         self.update_iterated_dev = iekf.make_update_iterated_fn(
             knn_k=cfg.query_nn_k,
@@ -221,6 +232,7 @@ class SlamSystem:
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
             rotate_vecs=rotate_vecs,
+            encode_vecs=self.encode_vecs,
         )
         self.mesher = Mesher(
             knn_k=cfg.query_nn_k,
@@ -233,6 +245,7 @@ class SlamSystem:
             mlp_bf16=cfg.mlp_bf16,
             feature_dim=cfg.feature_dim,
             rotate_vecs=rotate_vecs,
+            encode_vecs=self.encode_vecs,
         )
         self._ba_fn = None
         if cfg.ba_freq_frame > 0:
@@ -253,6 +266,7 @@ class SlamSystem:
                 mlp_leaky=cfg.mlp_leaky_relu,
                 mlp_bf16=cfg.mlp_bf16,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=self.encode_vecs,
             )
         self._dyn_filter = None
         if cfg.dynamic_filter_on:
@@ -269,6 +283,7 @@ class SlamSystem:
                 mlp_leaky=cfg.mlp_leaky_relu,
                 mlp_bf16=cfg.mlp_bf16,
                 rotate_vecs=rotate_vecs,
+                encode_vecs=self.encode_vecs,
             )
 
     def adjust_map(self, corrected_poses: np.ndarray):
