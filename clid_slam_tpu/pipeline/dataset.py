@@ -118,9 +118,35 @@ class SLAMDataset:
                 + self.T_imu_lidar[:3, 3].astype(np.float32)
             )
 
+    def _frame_loader(self):
+        """Lazily start the native prefetching loader (background read +
+        parse of the next frames while the TPU works on the current one —
+        replaces the reference's synchronous in-loop disk reads,
+        utils/slam_dataset.py:250-295). None if native IO is unavailable."""
+        if not hasattr(self, "_prefetcher"):
+            self._prefetcher = None
+            from .. import native
+
+            if native.available() and self.total_pc_count > 0:
+                paths = [
+                    os.path.join(self.cfg.pc_path, f)
+                    for f in self.pc_filenames
+                ]
+                self._prefetcher = native.FramePrefetcher(
+                    paths, lookahead=4, threads=2,
+                    color_channel=self.cfg.color_channel,
+                )
+        return self._prefetcher
+
     def read_frame(self, frame_id: int):
-        path = os.path.join(self.cfg.pc_path, self.pc_filenames[frame_id])
-        points, point_ts = io.read_point_cloud(path, self.cfg.color_channel)
+        loader = self._frame_loader()
+        if loader is not None:
+            points, point_ts = loader.get(frame_id)
+        else:
+            path = os.path.join(self.cfg.pc_path, self.pc_filenames[frame_id])
+            points, point_ts = io.read_point_cloud(
+                path, self.cfg.color_channel
+            )
         if self.cfg.kitti_correction_on:
             points = intrinsic_correct(points, self.cfg.correction_deg)
         if self.cfg.deskew and point_ts is None:
