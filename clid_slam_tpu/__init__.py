@@ -14,7 +14,7 @@ DUTRobot/CLID-SLAM (reference layout surveyed in SURVEY.md):
 - ``mapping``             — ray sampler, replay pool ring buffer, map optimizer
   (reference: utils/data_sampler.py, utils/mapper.py).
 - ``ops``                 — voxel hashing, kNN search, plane fitting, marching
-  cubes; Pallas fused kernels for the hot paths.
+  cubes (XLA-composed kernels; see ops/ for per-op docs).
 - ``pipeline``            — dataset frontend + per-frame SLAM orchestration
   (reference: utils/slam_dataset.py, slam.py).
 - ``parallel``            — jax.sharding device-mesh utilities: data-parallel

@@ -75,6 +75,8 @@ class Config:
     color_map_on: bool = True
     color_on: bool = False
     color_channel: int = 0
+    filter_moving_object: bool = False
+    use_nclt_bin: bool = False  # NCLT int16 velodyne bin format
 
     # ---- dynamic filter ----
     dynamic_filter_on: bool = False
@@ -179,7 +181,11 @@ class Config:
     reg_min_grad_norm: float = 0.5
     reg_max_grad_norm: float = 1.5
     track_mask_query_nn_k: int = 6
+    # parsed for YAML compat; the reference defines but never reads it
+    # (utils/config.py:271 — no use site anywhere in the tree)
     max_sdf_ratio: float = 5.0
+    # gates tracker validity at surface_sample_range_m * ratio when
+    # weighted_first is off (utils/error_state_iekf.py:238-241)
     max_sdf_std_ratio: float = 1.0
     reg_iter_n: int = 50
     reg_term_thre_deg: float = 0.01
@@ -292,6 +298,10 @@ class Config:
         c.semantic_on = s.get("semantic_on", c.semantic_on)
         if c.semantic_on:
             c.label_path = s.get("label_path", c.label_path)
+            c.filter_moving_object = s.get(
+                "filter_moving_object", c.filter_moving_object
+            )
+        c.use_nclt_bin = s.get("nclt_bin", c.use_nclt_bin)
         c.color_map_on = s.get("color_map_on", c.color_map_on)
         c.color_channel = s.get("color_channel", 0)
         c.color_on = bool(

@@ -74,6 +74,8 @@ def make_mapping_fn(
     freespace_label_on: bool = False,
     rotate_vecs: bool = False,
     encode_vecs=None,
+    weighted_first: bool = True,
+    layer_norm: bool = False,
 ):
     """Build the jitted per-frame map optimization function.
 
@@ -98,9 +100,14 @@ def make_mapping_fn(
             window,
             True,
             rotate_vecs=rotate_vecs,
-                encode_vecs=encode_vecs,
+            encode_vecs=encode_vecs,
+            weighted_first=weighted_first,
+            layer_norm=layer_norm,
         )
         pred = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
+        if not weighted_first:
+            # decode-then-weight (utils/mapper.py:679-744)
+            pred = jnp.sum(pred * q.weights, axis=1)
         return pred, q
 
     def loss_fn(params, map_state, batch, travel_dist, cur_ts, window):
@@ -126,6 +133,8 @@ def make_mapping_fn(
             cpred = dec.regress_color(
                 color_mlp, cfeat, leaky=mlp_leaky, bf16=mlp_bf16
             )
+            if not weighted_first:  # [N,k,C] -> weighted [N,C]
+                cpred = jnp.sum(cpred * q.weights[..., None], axis=1)
             cdiff = jnp.abs(cpred - color_lbl).mean(-1)  # L1
             cw = w_abs if loss_weight_on else bvalid
             color_loss = jnp.sum(cdiff * surface_mask * cw) / jnp.clip(
@@ -136,6 +145,8 @@ def make_mapping_fn(
             logp = dec.sem_label_prob(
                 sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16
             )  # [N,S]
+            if not weighted_first:  # [N,k,S] -> weighted [N,S]
+                logp = jnp.sum(logp * q.weights[..., None], axis=1)
             lbl_ok = (sem_lbl >= 0) if freespace_label_on else (sem_lbl > 0)
             lm_ = lbl_ok.astype(jnp.float32) * bvalid
             safe_lbl = jnp.clip(sem_lbl, 0)

@@ -9,10 +9,9 @@ TPU-native differences:
 - fixed arrays [P] with a contiguous live prefix [0, size); compaction is a
   jitted O(P) cumsum scatter (the reference re-allocates with boolean
   indexing every frame, utils/mapper.py:361-367);
-- when an append would overflow, the overflowing *new* samples are dropped
-  (the reference instead discards random old samples, utils/mapper.py:350-358;
-  with the window filter running each frame the pool rarely fills, and
-  dropping new keeps the op deterministic and allocation-free);
+- when an append would overflow, the overflowing new samples overwrite
+  *uniform-random old* slots (the reference discards random old samples to
+  make room, utils/mapper.py:350-358 — same steady-state distribution);
 - "new-region" sample indices live in a fixed side buffer (new_buf,
   new_count) rebuilt each frame, mirroring utils/mapper.py:429-441.
 """
@@ -101,11 +100,23 @@ def append_samples(
     color=None,  # [M,C] or None
     sem=None,  # [M] i32 or None
     coords_local=None,  # [M,3] sensor-frame coords
+    key=None,  # PRNG key for overflow replacement slots
 ) -> ReplayPool:
     p = pool.coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dst = pool.size + offs
     write = mask & (dst < p)
+    if key is not None:
+        # full pool: overflowing samples evict uniform-random old slots
+        # (utils/mapper.py:350-358 discards random old samples to make
+        # room); collisions between two evictors lose one sample — same
+        # as the reference's random discard
+        overflow = mask & (dst >= p)
+        rand_old = jax.random.randint(
+            key, mask.shape, 0, jnp.maximum(pool.size, 1)
+        )
+        dst = jnp.where(overflow, rand_old, dst)
+        write = write | overflow
     # losers get out-of-bounds index p and are dropped by the scatter
     slot = jnp.where(write, dst, p)
 
@@ -128,7 +139,8 @@ def append_samples(
         if sem is not None
         else pool.sem
     )
-    n_added = jnp.sum(write.astype(jnp.int32))
+    # overflow evictions reuse live slots and do not grow the pool
+    n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))
 
     # new-region index side buffer
     nb = pool.new_buf.shape[0]
@@ -147,7 +159,7 @@ def append_samples(
         ts=ts_arr,
         color=color_arr,
         sem=sem_arr,
-        size=pool.size + n_added,
+        size=jnp.minimum(pool.size + n_added, p),
         new_buf=new_buf,
         new_count=new_count,
     )

@@ -72,6 +72,7 @@ def make_prep_fn(
         colors=None,  # [P,C] per-point color/intensity
         sem_labels=None,  # [P] i32
     ) -> PrepResult:
+        key, overflow_key = jax.random.split(key)
         origin = pose[:3, 3]
         world_pts = transform_points(points, pose)
 
@@ -151,6 +152,7 @@ def make_prep_fn(
             color=batch.color if colors is not None else None,
             sem=batch.sem if sem_labels is not None else None,
             coords_local=batch.coords,
+            key=overflow_key,
         )
         return PrepResult(
             map_state,

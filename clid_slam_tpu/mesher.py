@@ -43,20 +43,29 @@ class Mesher:
         mlp_bf16: bool = False,
         feature_dim: int = 8,
         rotate_vecs: bool = False,
-    encode_vecs=None,
+        encode_vecs=None,
+        weighted_first: bool = True,
+        layer_norm: bool = False,
     ):
         self.chunk_dim = int(chunk_dim)
         self.mesh_min_nn = mesh_min_nn
         cd = self.chunk_dim
 
-        @jax.jit
-        def query_chunk(map_state, mlp, pts, valid_in):
-            q = nm.query_feature(
+        def _query(map_state, pts):
+            return nm.query_feature(
                 map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
                 rotate_vecs=rotate_vecs,
                 encode_vecs=encode_vecs,
+                weighted_first=weighted_first,
+                layer_norm=layer_norm,
             )
+
+        @jax.jit
+        def query_chunk(map_state, mlp, pts, valid_in):
+            q = _query(map_state, pts)
             sdf = dec.sdf(mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16)
+            if not weighted_first:  # decode-then-weight (utils/mesher.py:130-147)
+                sdf = jnp.sum(sdf * q.weights, axis=1)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
             return sdf, ok
 
@@ -64,29 +73,25 @@ class Mesher:
         def color_chunk(map_state, color_mlp, pts, valid_in):
             """Vertex color regression (utils/mesher.py:425-443 semantics):
             same kNN query, color-feature slab, sigmoid color head."""
-            q = nm.query_feature(
-                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
-                rotate_vecs=rotate_vecs,
-                encode_vecs=encode_vecs,
-            )
+            q = _query(map_state, pts)
             cfeat = nm.query_color_feature(map_state, q, feature_dim)
             color = dec.regress_color(
                 color_mlp, cfeat, leaky=mlp_leaky, bf16=mlp_bf16
             )
+            if not weighted_first:
+                color = jnp.sum(color * q.weights[..., None], axis=1)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
             return color, ok
 
         @jax.jit
         def sem_chunk(map_state, sem_mlp, pts, valid_in):
             """Vertex semantic argmax (utils/mesher.py:401-423 semantics)."""
-            q = nm.query_feature(
-                map_state, pts, nb_offs, resolution, max_valid_dist2, knn_k,
-                rotate_vecs=rotate_vecs,
-                encode_vecs=encode_vecs,
-            )
+            q = _query(map_state, pts)
             logp = dec.sem_label_prob(
                 sem_mlp, q.feature, leaky=mlp_leaky, bf16=mlp_bf16
             )
+            if not weighted_first:
+                logp = jnp.sum(logp * q.weights[..., None], axis=1)
             labels = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             ok = valid_in & (q.nn_count >= mesh_min_nn)
             return labels, ok
@@ -120,34 +125,71 @@ class Mesher:
         mc_res: float,
         pad_voxel: int = 2,
         min_cluster_vertices: int = 0,
+        guide_points: Optional[np.ndarray] = None,
+        skip_top_voxel: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Chunked reconstruction over an AABB
         (utils/mesher.py:523-667 semantics). Returns (vertices [V,3],
-        triangles [T,3]) as numpy arrays."""
+        triangles [T,3]) as numpy arrays.
+
+        ``guide_points`` (usually the live neural-point positions) restricts
+        the sweep to occupied chunks, like the reference's point-guided
+        chunk split (utils/tools.py:727-799) — on a long corridor map this
+        skips the overwhelmingly empty volume. ``skip_top_voxel`` trims the
+        top of the z range (utils/mesher.py:178-181)."""
         cd = self.chunk_dim
         aabb_min = np.asarray(aabb_min, np.float64) - pad_voxel * mc_res
         aabb_max = np.asarray(aabb_max, np.float64) + pad_voxel * mc_res
-        span = aabb_max - aabb_min
+        aabb_max[2] -= skip_top_voxel * mc_res
+        span = np.maximum(aabb_max - aabb_min, mc_res)
         # chunks overlap by one grid point so cells at borders are covered
         step = (cd - 1) * mc_res
         nx, ny, nz = [max(1, int(np.ceil(s / step))) for s in span]
 
+        if guide_points is not None and len(guide_points):
+            occupied = set()
+            pad = pad_voxel * mc_res
+            for d in np.array(
+                [[-1, -1, -1], [-1, -1, 1], [-1, 1, -1], [-1, 1, 1],
+                 [1, -1, -1], [1, -1, 1], [1, 1, -1], [1, 1, 1]],
+                np.float64,
+            ):
+                # dilate by the pad margin so near-boundary surface cells
+                # are still covered
+                g = np.floor(
+                    (guide_points + d * pad - aabb_min) / step
+                ).astype(np.int64)
+                np.clip(g, 0, [nx - 1, ny - 1, nz - 1], out=g)
+                occupied.update(map(tuple, np.unique(g, axis=0)))
+            chunk_ids = sorted(occupied)
+        else:
+            chunk_ids = [
+                (ix, iy, iz)
+                for ix in range(nx)
+                for iy in range(ny)
+                for iz in range(nz)
+            ]
+
         all_tris = []
         valid_in = jnp.ones((cd**3,), bool)
-        for ix in range(nx):
-            for iy in range(ny):
-                for iz in range(nz):
-                    origin = aabb_min + np.array([ix, iy, iz]) * step
-                    tris, ok = self._mesh_chunk(
-                        map_state,
-                        mlp,
-                        jnp.asarray(origin, jnp.float32),
-                        mc_res,
-                        valid_in,
-                    )
-                    ok_np = np.asarray(ok)
-                    if ok_np.any():
-                        all_tris.append(np.asarray(tris)[ok_np])
+        for cid in chunk_ids:
+            origin = aabb_min + np.asarray(cid, np.float64) * step
+            tris, ok = self._mesh_chunk(
+                map_state,
+                mlp,
+                jnp.asarray(origin, jnp.float32),
+                mc_res,
+                valid_in,
+            )
+            ok_np = np.asarray(ok)
+            if ok_np.any():
+                tri_np = np.asarray(tris)[ok_np]
+                if skip_top_voxel > 0:
+                    tri_np = tri_np[
+                        (tri_np[..., 2] <= aabb_max[2]).all(axis=-1)
+                    ]
+                if len(tri_np):
+                    all_tris.append(tri_np)
         if not all_tris:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
         tri_soup = np.concatenate(all_tris, 0)  # [T,3,3]

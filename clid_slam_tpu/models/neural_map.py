@@ -237,14 +237,21 @@ def query_feature(
     time_filtering: bool = False,
     rotate_vecs: bool = False,
     encode_vecs=None,
+    weighted_first: bool = True,
+    layer_norm: bool = False,
 ) -> QueryResult:
-    """kNN feature interpolation (model/neural_points.py:553-769,
-    weighted_first mode). Differentiable wrt ``points`` and
-    ``state.geo_feats``.
+    """kNN feature interpolation (model/neural_points.py:553-769).
+    Differentiable wrt ``points`` and ``state.geo_feats``.
 
     ``encode_vecs`` optionally positionally encodes each neighbor's relative
     vector [N,k,3] -> [N,k,P] before IDW weighting
-    (model/neural_points.py:676-677); see ops/encoding.py."""
+    (model/neural_points.py:676-677); see ops/encoding.py.
+
+    ``weighted_first=False`` returns PER-NEIGHBOR features [N,k,F+P]
+    instead of the IDW-weighted sum — callers decode each neighbor and
+    weight/reduce the decoded SDFs (reference mapper.py:679-744,
+    error_state_iekf.py:217-225). ``layer_norm`` normalizes the gathered
+    features over the feature axis (model/neural_points.py:630-631)."""
     cap = map_capacity(state)
     d2, h, pvalid, mir = neighborhood_probe(
         state,
@@ -281,6 +288,10 @@ def query_feature(
     safe = jnp.where(valid, idx_sel, cap)
 
     feats = state.geo_feats[safe]  # [N,k,F]
+    if layer_norm:
+        mu = jnp.mean(feats, axis=-1, keepdims=True)
+        var = jnp.var(feats, axis=-1, keepdims=True)
+        feats = (feats - mu) * jax.lax.rsqrt(var + 1e-5)
     feats = jnp.where(valid[..., None], feats, 0.0)
     nb_pos = jnp.take_along_axis(mir, sel[..., None], axis=1)[..., :3]
     vecs = points[:, None, :] - nb_pos
@@ -310,7 +321,10 @@ def query_feature(
     certainty_q = jnp.sum(cert * w, axis=1)
 
     feat_vec = jnp.concatenate([feats, vecs], axis=-1)  # [N,k,F+3]
-    feature = jnp.sum(feat_vec * w[..., None], axis=1)  # [N,F+3]
+    if weighted_first:
+        feature = jnp.sum(feat_vec * w[..., None], axis=1)  # [N,F+3]
+    else:
+        feature = feat_vec  # [N,k,F+3]: decode-then-weight mode
     return QueryResult(feature, w, knn_idx, nn_count, certainty_q)
 
 
@@ -319,12 +333,16 @@ def query_color_feature(
 ) -> jnp.ndarray:
     """Color-feature interpolation reusing the geometric query's kNN
     (model/neural_points.py:634-754: same neighbors/weights, second feature
-    slab, same relative-vector suffix). [N, Fc+3]."""
+    slab, same relative-vector suffix). [N, Fc+3], or per-neighbor
+    [N, k, Fc+3] when the query ran in decode-then-weight mode."""
     cap = map_capacity(state)
     valid = qres.knn_idx >= 0
     safe = jnp.where(valid, qres.knn_idx, cap)
     cf = state.color_feats[safe]  # [N,k,Fc]
     cf = jnp.where(valid[..., None], cf, 0.0)
+    if qres.feature.ndim == 3:  # weighted_first=False
+        vec_part = qres.feature[..., feature_dim:]  # [N,k,3(+pe)]
+        return jnp.concatenate([cf, vec_part], axis=-1)
     cw = jnp.sum(cf * qres.weights[..., None], axis=1)  # [N,Fc]
     vec_part = qres.feature[:, feature_dim:]  # weighted rel-vec (3 [+pe])
     return jnp.concatenate([cw, vec_part], axis=-1)

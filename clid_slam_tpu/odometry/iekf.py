@@ -256,9 +256,17 @@ def make_h_reduce_fn(
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
     encode_vecs=None,
+    weighted_first: bool = True,
+    layer_norm: bool = False,
+    max_sdf_std: float = float("inf"),
 ):
     """Build the fused measurement reduction
     (utils/error_state_iekf.py:176-264 without the H[N,18] materialization).
+
+    ``weighted_first=False`` decodes each kNN neighbor feature separately
+    and takes the IDW-weighted mean; the per-point weighted SDF std then
+    gates validity at ``max_sdf_std``
+    (utils/error_state_iekf.py:217-241).
 
     Returned callable:
       h_reduce(map_state, mlp, points_imu[N,3], mask[N], R[3,3], t[3],
@@ -294,13 +302,24 @@ def make_h_reduce_fn(
                 True,
                 rotate_vecs=rotate_vecs,
                 encode_vecs=encode_vecs,
+                weighted_first=weighted_first,
+                layer_norm=layer_norm,
             )
             pred = dec.sdf(
                 mlp, q.feature, sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16
             )
-            return jnp.sum(pred), (pred, q.nn_count)
+            if weighted_first:
+                sdf_std = jnp.zeros(pts.shape[0])
+            else:
+                mean = jnp.sum(pred * q.weights, axis=1)  # [N]
+                var = jnp.sum(q.weights * (pred - mean[:, None]) ** 2, axis=1)
+                sdf_std = jnp.sqrt(jnp.maximum(var, 0.0))
+                pred = mean
+            return jnp.sum(pred), (pred, q.nn_count, sdf_std)
 
-        grad, (sdf_pred, nn_count) = jax.grad(sdf_sum, has_aux=True)(pc_map)
+        grad, (sdf_pred, nn_count, sdf_std) = jax.grad(
+            sdf_sum, has_aux=True
+        )(pc_map)
         grad_norm = jnp.linalg.norm(grad, axis=-1)
 
         valid = (
@@ -309,6 +328,8 @@ def make_h_reduce_fn(
             & (grad_norm > min_grad_norm)
             & (grad_norm < max_grad_norm)
         )
+        if not weighted_first:
+            valid = valid & (sdf_std < max_sdf_std)
         vf = valid.astype(jnp.float32)
 
         # H rows (utils/error_state_iekf.py:249-255):
@@ -350,6 +371,9 @@ def make_update_iterated_fn(
     mlp_bf16: bool = False,
     rotate_vecs: bool = False,
     encode_vecs=None,
+    weighted_first: bool = True,
+    layer_norm: bool = False,
+    max_sdf_std: float = float("inf"),
 ):
     """The ENTIRE iterated IESEKF update as one jitted device call.
 
@@ -379,7 +403,10 @@ def make_update_iterated_fn(
         mlp_leaky=mlp_leaky,
         mlp_bf16=mlp_bf16,
         rotate_vecs=rotate_vecs,
-                encode_vecs=encode_vecs,
+        encode_vecs=encode_vecs,
+        weighted_first=weighted_first,
+        layer_norm=layer_norm,
+        max_sdf_std=max_sdf_std,
     )
 
     term_rad = term_thre_deg * jnp.pi / 180.0

@@ -62,9 +62,13 @@ class SLAMDataset:
             self.pc_filenames = sorted(
                 f
                 for f in os.listdir(cfg.pc_path)
-                if os.path.splitext(f)[1].lower() in (".bin", ".ply", ".pcd")
+                if os.path.splitext(f)[1].lower()
+                in (".bin", ".ply", ".pcd", ".las")
             )[cfg.begin_frame : cfg.end_frame : cfg.step_frame]
         self.total_pc_count = len(self.pc_filenames)
+        # color normalization: KITTI intensity is already [0,1]
+        # (utils/slam_dataset.py:172-184)
+        self.color_scale = 1.0 if cfg.kitti_correction_on else 255.0
 
         # ground truth (optional)
         self.gt_poses: Optional[np.ndarray] = None
@@ -104,13 +108,28 @@ class SLAMDataset:
         self.cur_point_ts = None  # jnp [P] normalized in [0,1] or None
         self.cur_source_points = None  # jnp [S,3]
         self.cur_source_mask = None
+        self.cur_colors = None  # jnp [P,C] f32 in [0,1] (color_on only)
+        self.cur_sem = None  # jnp [P] i32 learning labels (semantic_on only)
 
         self.T_imu_lidar = np.asarray(cfg.T_imu_lidar, np.float64)
 
     # ------------------------------------------------------------- loading
-    def read_frame_arrays(self, points: np.ndarray, point_ts=None):
-        """Ingest an already-loaded frame (synthetic data / tests)."""
+    def read_frame_arrays(self, points: np.ndarray, point_ts=None,
+                          sem_labels=None):
+        """Ingest an already-loaded frame. ``points`` may carry color /
+        intensity columns past xyz (kept, normalized by color_scale —
+        utils/slam_dataset.py:263-266); ``sem_labels`` are reduced learning
+        labels [N] i32."""
         self._raw_points = points[:, :3].astype(np.float32)
+        self._raw_colors = None
+        if self.cfg.color_on and points.shape[1] > 3:
+            c = self.cfg.color_channel
+            self._raw_colors = (
+                points[:, 3 : 3 + c].astype(np.float32) / self.color_scale
+            )
+        self._raw_sem = (
+            np.asarray(sem_labels, np.int32) if sem_labels is not None else None
+        )
         self._raw_ts = point_ts
         if not np.allclose(self.T_imu_lidar, np.eye(4)):
             self._raw_points = (
@@ -139,19 +158,40 @@ class SLAMDataset:
         return self._prefetcher
 
     def read_frame(self, frame_id: int):
-        loader = self._frame_loader()
-        if loader is not None:
-            points, point_ts = loader.get(frame_id)
-        else:
-            path = os.path.join(self.cfg.pc_path, self.pc_filenames[frame_id])
-            points, point_ts = io.read_point_cloud(
-                path, self.cfg.color_channel
+        cfg = self.cfg
+        sem_reduced = None
+        if cfg.semantic_on and cfg.label_path:
+            # SemanticKITTI frame + labels (utils/slam_dataset.py:267-281)
+            pc_path = os.path.join(cfg.pc_path, self.pc_filenames[frame_id])
+            label_path = os.path.join(
+                cfg.label_path,
+                os.path.splitext(self.pc_filenames[frame_id])[0] + ".label",
             )
-        if self.cfg.kitti_correction_on:
-            points = intrinsic_correct(points, self.cfg.correction_deg)
-        if self.cfg.deskew and point_ts is None:
+            points, sem_raw, sem_reduced = io.read_semantic_point_label(
+                pc_path, label_path
+            )
+            keep = io.filter_sem_kitti_mask(
+                sem_raw, True, cfg.filter_moving_object
+            )
+            points, sem_reduced = points[keep], sem_reduced[keep]
+            point_ts = None
+        else:
+            loader = self._frame_loader()
+            if loader is not None and not cfg.use_nclt_bin:
+                points, point_ts = loader.get(frame_id)
+            else:
+                path = os.path.join(cfg.pc_path, self.pc_filenames[frame_id])
+                if cfg.use_nclt_bin and path.endswith(".bin"):
+                    points, point_ts = io.load_nclt_bin(path), None
+                else:
+                    points, point_ts = io.read_point_cloud(
+                        path, cfg.color_channel
+                    )
+        if cfg.kitti_correction_on:
+            points = intrinsic_correct(points, cfg.correction_deg)
+        if cfg.deskew and point_ts is None:
             point_ts = self._estimate_point_ts(points[:, :3])
-        self.read_frame_arrays(points, point_ts)
+        self.read_frame_arrays(points, point_ts, sem_reduced)
 
     def _estimate_point_ts(self, pts: np.ndarray):
         """Beam-geometry timestamp fallback (utils/slam_dataset.py:297-352)."""
@@ -210,11 +250,15 @@ class SLAMDataset:
         # pad/truncate to the static bucket
         p_cap = cfg.max_scan_points
         n = pts.shape[0]
+        colors_arr = self._raw_colors
+        sem_arr = self._raw_sem
         if n > p_cap:
             sel = np.random.default_rng(frame_id).permutation(n)[:p_cap]
             sel.sort()
             pts = pts[sel]
             ts_arr = self._raw_ts[sel] if self._raw_ts is not None else None
+            colors_arr = colors_arr[sel] if colors_arr is not None else None
+            sem_arr = sem_arr[sel] if sem_arr is not None else None
             n = p_cap
         else:
             ts_arr = self._raw_ts
@@ -227,15 +271,34 @@ class SLAMDataset:
             tb = np.zeros(p_cap, np.float32)
             tb[:n] = np.asarray(ts_arr, np.float32).reshape(-1)[:n]
             ts_buf = jnp.asarray(tb)
+        self.cur_colors = None
+        if colors_arr is not None:
+            cb = np.zeros((p_cap, colors_arr.shape[1]), np.float32)
+            cb[:n] = colors_arr
+            self.cur_colors = jnp.asarray(cb)
+        self.cur_sem = None
+        if sem_arr is not None:
+            sb = np.full(p_cap, -1, np.int32)
+            sb[:n] = sem_arr
+            self.cur_sem = jnp.asarray(sb)
 
         points_j = jnp.asarray(buf)
         mask_j = jnp.asarray(mask_np)
         mask_j = mask_j & crop_mask(
             points_j, cfg.min_z, cfg.max_z, cfg.min_range, crop_max_range
         )
-        mask_j = voxel_down_sample_mask(
-            points_j, mask_j, train_voxel_m, cfg.map_hash_size
-        )
+        if cfg.rand_downsample:
+            # random-ratio downsample replaces the voxel grid
+            # (utils/slam_dataset.py:425-429)
+            keep = (
+                np.random.default_rng(frame_id ^ 0x5EED).random(p_cap)
+                < cfg.rand_down_r
+            )
+            mask_j = mask_j & jnp.asarray(keep)
+        else:
+            mask_j = voxel_down_sample_mask(
+                points_j, mask_j, train_voxel_m, cfg.map_hash_size
+            )
         self.cur_points = points_j
         self.cur_mask = mask_j
         self.cur_point_ts = ts_buf

@@ -166,6 +166,7 @@ class SlamSystem:
         self.total_frames = total_frames
         self.travel_dist_dev = jnp.zeros((total_frames,), jnp.float32)
         self.adaptive_iter_offset = 0
+        self.run_path = os.path.join(cfg.output_root, cfg.run_name or "run")
         self._build_query_fns(rotate_vecs=False)
         self.stats: list = []
 
@@ -177,6 +178,9 @@ class SlamSystem:
         cfg = self.cfg
         self.after_pgo = rotate_vecs
         self._prep_fns = {}
+        # decode-then-weight mode + per-point sdf-std tracker gate
+        # (utils/error_state_iekf.py:217-241)
+        max_sdf_std = cfg.surface_sample_range_m * cfg.max_sdf_std_ratio
         self.mapping_fn = mp.make_mapping_fn(
             feature_dim=cfg.feature_dim,
             knn_k=cfg.query_nn_k,
@@ -202,6 +206,8 @@ class SlamSystem:
             surface_sample_range_m=cfg.surface_sample_range_m,
             rotate_vecs=rotate_vecs,
             encode_vecs=self.encode_vecs,
+            weighted_first=cfg.weighted_first,
+            layer_norm=cfg.layer_norm_on,
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(
             knn_k=cfg.query_nn_k,
@@ -216,6 +222,9 @@ class SlamSystem:
             mlp_bf16=cfg.mlp_bf16,
             rotate_vecs=rotate_vecs,
             encode_vecs=self.encode_vecs,
+            weighted_first=cfg.weighted_first,
+            layer_norm=cfg.layer_norm_on,
+            max_sdf_std=max_sdf_std,
         )
         self.update_iterated_dev = iekf.make_update_iterated_fn(
             knn_k=cfg.query_nn_k,
@@ -233,6 +242,9 @@ class SlamSystem:
             mlp_bf16=cfg.mlp_bf16,
             rotate_vecs=rotate_vecs,
             encode_vecs=self.encode_vecs,
+            weighted_first=cfg.weighted_first,
+            layer_norm=cfg.layer_norm_on,
+            max_sdf_std=max_sdf_std,
         )
         self.mesher = Mesher(
             knn_k=cfg.query_nn_k,
@@ -246,6 +258,8 @@ class SlamSystem:
             feature_dim=cfg.feature_dim,
             rotate_vecs=rotate_vecs,
             encode_vecs=self.encode_vecs,
+            weighted_first=cfg.weighted_first,
+            layer_norm=cfg.layer_norm_on,
         )
         self._ba_fn = None
         if cfg.ba_freq_frame > 0:
@@ -484,6 +498,26 @@ class SlamSystem:
         losses = np.asarray(losses)
         return float(losses[0]), float(losses[1]), cur_iters
 
+    def _ensure_capacity(self, frame_id: int):
+        """Grow the per-frame state when streaming past the initial
+        ``total_frames`` estimate (amortized doubling; each growth recompiles
+        the travel-dist-shaped executables once)."""
+        if frame_id < self.total_frames:
+            return
+        new_total = max(self.total_frames * 2, frame_id + 1)
+        td = jnp.zeros((new_total,), jnp.float32)
+        self.travel_dist_dev = td.at[: self.total_frames].set(
+            self.travel_dist_dev
+        )
+        d = self.dataset
+        grow = new_total - len(d.odom_poses)
+        if grow > 0:
+            d.odom_poses = np.concatenate(
+                [d.odom_poses, np.tile(np.eye(4), (grow, 1, 1))]
+            )
+            d.travel_dist = np.concatenate([d.travel_dist, np.zeros(grow)])
+        self.total_frames = new_total
+
     # --------------------------------------------------------------- frame
     def process_frame(
         self,
@@ -494,6 +528,7 @@ class SlamSystem:
     ) -> FrameStats:
         cfg = self.cfg
         d = self.dataset
+        self._ensure_capacity(frame_id)
         st = FrameStats(frame_id=frame_id)
         t0 = time.perf_counter()
 
@@ -564,19 +599,100 @@ class SlamSystem:
             self._bundle_adjust(frame_id)
         t4 = time.perf_counter()
 
+        # periodic in-loop reconstruction artifacts (reference
+        # slam.py:247-321 ships these to the GUI; headless we write PLYs)
+        t_mesh = 0.0
+        if cfg.mesh_default_on and (
+            frame_id == 0 or (frame_id + 1) % cfg.mesh_freq_frame == 0
+        ):
+            self._write_local_mesh(frame_id)
+            t_mesh += time.perf_counter() - t4
+        if cfg.sdf_default_on and (
+            frame_id == 0 or (frame_id + 1) % cfg.sdfslice_freq_frame == 0
+        ):
+            self._write_sdf_slice(frame_id)
+            t_mesh = time.perf_counter() - t4
+        if cfg.log_freq_frame > 0 and (frame_id + 1) % cfg.log_freq_frame == 0:
+            # periodic odometry log (utils/slam_dataset.py:664-682)
+            os.makedirs(os.path.join(self.run_path, "pose_log"), exist_ok=True)
+            io.write_ply(
+                os.path.join(self.run_path, "pose_log", f"{frame_id}.ply"),
+                d.odom_poses[: frame_id + 1, :3, 3].astype(np.float32),
+            )
+
         st.timings = {
             "preprocess": t1 - t0,
             "tracking": t2 - t1,
             "map_prep": t3 - t2,
             "map_opt": t4 - t3,
-            "mesh": 0.0,
+            "mesh": t_mesh,
         }
         d.time_table.append(
-            [t1 - t0, t2 - t1, t3 - t2, t4 - t3, 0.0]
+            [t1 - t0, t2 - t1, t3 - t2, t4 - t3, t_mesh]
         )
         d.processed_frame += 1
         self.stats.append(st)
         return st
+
+    # ------------------------------------------------- in-loop vis artifacts
+    def _write_local_mesh(self, frame_id: int):
+        """Local-window mesh around the current pose (the reference's
+        vis_mesh path, slam.py:247-276, chunked from map points)."""
+        cfg = self.cfg
+        n = int(self.map_state.count)
+        if n == 0:
+            return
+        pts = np.asarray(self.map_state.positions[:n])
+        center = self.dataset.cur_pose_ref[:3, 3]
+        local = pts[
+            np.linalg.norm(pts - center, axis=-1) < cfg.max_range
+        ]
+        if len(local) == 0:
+            return
+        v, t = self.mesher.recon_aabb_mesh(
+            self.map_state,
+            self.mlp,
+            local.min(0),
+            local.max(0),
+            cfg.mc_res_m,
+            cfg.pad_voxel,
+            cfg.min_cluster_vertices,
+            guide_points=local,
+            skip_top_voxel=cfg.skip_top_voxel,
+        )
+        if len(v):
+            os.makedirs(os.path.join(self.run_path, "mesh"), exist_ok=True)
+            io.write_ply_mesh(
+                os.path.join(self.run_path, "mesh", f"mesh_{frame_id}.ply"),
+                v,
+                t,
+            )
+
+    def _write_sdf_slice(self, frame_id: int):
+        """Horizontal SDF slice (reference slam.py:293-308 semantics:
+        half max_range extent at pose height + slice offset)."""
+        cfg = self.cfg
+        center = self.dataset.cur_pose_ref[:3, 3]
+        pts, sdf, ok = self.mesher.sdf_slice(
+            self.map_state,
+            self.mlp,
+            center,
+            cfg.max_range / 2.0,
+            float(center[2]) + cfg.sdf_slice_height,
+            cfg.vis_sdf_res_m,
+        )
+        if ok.any():
+            os.makedirs(os.path.join(self.run_path, "sdf_slice"), exist_ok=True)
+            bound = cfg.surface_sample_range_m * 4.0
+            c = np.clip((sdf[ok] + bound) / (2 * bound), 0, 1)
+            colors = np.stack([c, np.zeros_like(c), 1.0 - c], -1)
+            io.write_ply(
+                os.path.join(
+                    self.run_path, "sdf_slice", f"slice_{frame_id}.ply"
+                ),
+                pts[ok],
+                colors=colors,
+            )
 
     # ---------------------------------------------------------------- BA
     def _bundle_adjust(self, frame_id: int):
@@ -638,6 +754,8 @@ class SlamSystem:
                 cfg.mc_res_m,
                 cfg.pad_voxel,
                 cfg.min_cluster_vertices,
+                guide_points=pts,
+                skip_top_voxel=cfg.skip_top_voxel,
             )
             colors = None
             if cfg.semantic_on:
@@ -782,8 +900,15 @@ class SlamSystem:
 
 
 def run_slam(config_path: str, dataset_name=None, sequence_name=None, seed=None):
-    """CLI entry mirroring slam.py:43-70."""
+    """CLI entry mirroring slam.py:43-70: ``config.yaml [dataset] [seq]
+    [seed]`` with per-dataset path rewiring
+    (utils/dataset_indexing.py:9-117)."""
+    from .dataset_indexing import set_dataset_path
+
     cfg = Config.load(config_path)
+    if dataset_name:
+        set_dataset_path(cfg, dataset_name, sequence_name or "")
+        cfg.run_name = cfg.name
     if seed is not None:
         cfg.seed = int(seed)
     system = SlamSystem(cfg)
@@ -796,10 +921,7 @@ def run_slam(config_path: str, dataset_name=None, sequence_name=None, seed=None)
                 f"frame {frame_id}: {t*1e3:.1f} ms, loss {st.sdf_loss:.4f}, "
                 f"points {int(system.map_state.count)}"
             )
-    run_path = os.path.join(
-        cfg.output_root, cfg.run_name or "run"
-    )
-    return system.finalize(run_path)
+    return system.finalize(system.run_path)
 
 
 if __name__ == "__main__":

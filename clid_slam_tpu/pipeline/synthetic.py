@@ -82,25 +82,43 @@ def lidar_directions(n_azimuth: int = 128, n_elev: int = 16) -> np.ndarray:
 
 def circular_trajectory(
     n_frames: int, radius: float = 3.0, period_frames: float = 200.0,
-    frame_dt: float = 0.1,
+    frame_dt: float = 0.1, ramp_frames: float = 0.0,
 ):
     """Pose per frame: moving on a circle, yaw tangent to motion.
+    ``ramp_frames`` > 0 starts the platform AT REST and linearly ramps the
+    angular rate over that many frames — the realistic boot condition (an
+    IEKF initialized with zero velocity only converges on sequences that
+    start near-stationary, like the real benchmark datasets do).
     Returns (poses [N,4,4], angular velocity [N,3] body, accel [N,3] body)."""
-    w = 2 * np.pi / (period_frames * frame_dt)  # rad/s
+    w_max = 2 * np.pi / (period_frames * frame_dt)  # rad/s
+    t_ramp = ramp_frames * frame_dt
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     omegas = np.zeros((n_frames, 3))
     accels = np.zeros((n_frames, 3))
     for i in range(n_frames):
         t = i * frame_dt
-        th = w * t
+        if t_ramp > 0 and t < t_ramp:
+            w = w_max * t / t_ramp  # θ' during ramp
+            th = 0.5 * w_max * t * t / t_ramp
+            wd = w_max / t_ramp  # θ''
+        else:
+            w = w_max
+            th = w_max * (t - 0.5 * t_ramp) if t_ramp > 0 else w_max * t
+            wd = 0.0
         p = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
         yaw = th + np.pi / 2  # tangent
         cy, sy = np.cos(yaw), np.sin(yaw)
         R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
         poses[i, :3, :3] = R
         poses[i, :3, 3] = p
-        # kinematics: p̈ = -w² p (centripetal), body rates = [0,0,w]
-        pdd = np.array([-(w**2) * p[0], -(w**2) * p[1], 0.0])
+        # kinematics: p̈ = r(θ''[-sin,cos] - θ'²[cos,sin]); body rate [0,0,θ']
+        pdd = np.array(
+            [
+                radius * (-wd * np.sin(th) - w * w * np.cos(th)),
+                radius * (wd * np.cos(th) - w * w * np.sin(th)),
+                0.0,
+            ]
+        )
         grav = np.array([0.0, 0.0, -G])
         accels[i] = R.T @ (pdd - grav)
         omegas[i] = np.array([0.0, 0.0, w])
@@ -125,11 +143,12 @@ def generate_sequence(
     radius: float = 3.0,
     period_frames: float = 200.0,
     seed: int = 0,
+    ramp_frames: float = 0.0,
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     world = SyntheticWorld()
     poses, omegas, accels = circular_trajectory(
-        n_frames, radius, period_frames, frame_dt
+        n_frames, radius, period_frames, frame_dt, ramp_frames
     )
     dirs_body = lidar_directions(n_azimuth, n_elev)
 
@@ -154,3 +173,95 @@ def generate_sequence(
                 rows[j] = [dt, a[0], a[1], a[2], g[0], g[1], g[2]]
             imu_windows.append(rows)
     return SyntheticSequence(poses, scans, imu_windows, world)
+
+
+def write_sequence_dataset(
+    seq: SyntheticSequence, root: str, config_overrides: dict | None = None
+) -> str:
+    """Dump a synthetic sequence in the CLID converter on-disk layout
+    (dataset/converter/rosbag2dataset_parallel.py output format):
+    ``lidar/{i}.ply`` (+ per-point timestamp column), ``imu/{i}.csv``
+    (dt, ax, ay, az, gx, gy, gz with header), ``gt_poses.txt`` (TUM), and a
+    ready-to-run ``config.yaml``. Returns the config path — the file-based
+    CLI (`python -m clid_slam_tpu.pipeline.slam <config>`) runs it."""
+    import os
+
+    import yaml
+
+    from ..utils import io
+
+    lidar_dir = os.path.join(root, "lidar")
+    imu_dir = os.path.join(root, "imu")
+    os.makedirs(lidar_dir, exist_ok=True)
+    os.makedirs(imu_dir, exist_ok=True)
+    for i, scan in enumerate(seq.scans):
+        ts = np.linspace(0.0, 1.0, len(scan), dtype=np.float32)
+        io.write_ply(
+            os.path.join(lidar_dir, f"{i:06d}.ply"),
+            scan,
+            extra={"timestamp": ts},
+        )
+        w = seq.imu_windows[i]
+        if w is None:
+            w = np.zeros((1, 7))
+        with open(os.path.join(imu_dir, f"{i:06d}.csv"), "w") as f:
+            f.write("dt,ax,ay,az,gx,gy,gz\n")
+            for row in w:
+                f.write(",".join(f"{v:.9f}" for v in row) + "\n")
+    io.write_tum_poses(os.path.join(root, "gt_poses.txt"), seq.poses)
+
+    cfg = {
+        "setting": {
+            "name": "synthetic_replay",
+            "output_root": os.path.join(root, "out"),
+            "pc_path": lidar_dir,
+            "imu_path": imu_dir,
+            "pose_path": os.path.join(root, "gt_poses.txt"),
+            "deskew": False,
+        },
+        "process": {
+            "min_range_m": 0.5,
+            "max_range_m": 30.0,
+            "vox_down_m": 0.08,
+        },
+        "sampler": {
+            "local_voxel_size_m": 0.15,
+            "surface_sample_range_m": 0.25,
+            "surface_sample_n": 3,
+            "free_front_sample_n": 2,
+            "free_behind_sample_n": 1,
+        },
+        "neuralpoints": {"voxel_size_m": 0.3, "search_alpha": 0.5},
+        "loss": {"loss_weight_on": True},
+        "optimizer": {"iters": 10, "batch_size": 4096, "init_iter_ratio": 40},
+        "tracker": {"iter_n": 20, "source_vox_down_m": 0.4},
+        "eval": {"save_map": True, "save_mesh": True, "silence_log": False},
+        "tpu": {
+            "map_capacity": 1 << 15,
+            "map_hash_size": 1 << 17,
+            "local_map_capacity": 1 << 16,
+            "local_map_hash_size": 1 << 17,
+            "max_scan_points": 1 << 13,
+            "max_source_points": 1 << 11,
+            "pool_capacity": 1 << 16,
+        },
+    }
+    for k, v in (config_overrides or {}).items():
+        sect, key = k.split(".", 1)
+        cfg.setdefault(sect, {})[key] = v
+    cfg_path = os.path.join(root, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/clid_synth_ds"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    # rest-start ramp: the CLI boots the filter with zero velocity
+    s = generate_sequence(n_frames=n, n_azimuth=256, n_elev=24,
+                          noise_std=0.01, seed=3, ramp_frames=6)
+    p = write_sequence_dataset(s, out_root)
+    print(p)

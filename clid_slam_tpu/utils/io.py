@@ -186,6 +186,83 @@ def read_pcd(path: str):
         raise ValueError(f"unsupported PCD DATA {header['DATA']}")
 
 
+def read_las(path: str, color_channel: int = 0) -> np.ndarray:
+    """Minimal pure-numpy LAS 1.x reader (point formats 0-3): XYZ from the
+    scaled int32 triplet + optional intensity — the subset the reference
+    loads via laspy (utils/slam_dataset.py:1040-1055)."""
+    with open(path, "rb") as f:
+        header = f.read(227)
+        if header[:4] != b"LASF":
+            raise ValueError(f"{path}: not a LAS file")
+        point_data_offset = struct.unpack("<I", header[96:100])[0]
+        point_format = header[104] & 0x3F
+        point_size = struct.unpack("<H", header[105:107])[0]
+        n = struct.unpack("<I", header[107:111])[0]
+        sx, sy, sz = struct.unpack("<3d", header[131:155])
+        ox, oy, oz = struct.unpack("<3d", header[155:179])
+        f.seek(point_data_offset)
+        raw = np.frombuffer(f.read(point_size * n), dtype=np.uint8)
+    raw = raw.reshape(n, point_size)
+    xyz_i = raw[:, :12].copy().view("<i4").reshape(n, 3)
+    pts = xyz_i.astype(np.float64) * np.array([sx, sy, sz]) + np.array(
+        [ox, oy, oz]
+    )
+    pts = pts.astype(np.float32)
+    if color_channel == 1 and point_size >= 14:
+        intensity = (
+            raw[:, 12:14].copy().view("<u2").reshape(n).astype(np.float32)
+        )
+        pts = np.concatenate([pts, intensity[:, None]], -1)
+    return pts
+
+
+def load_nclt_bin(path: str) -> np.ndarray:
+    """NCLT velodyne bin: int16 x,y,z(,i) quadruplets scaled by 0.005 with
+    -100 offset, z flipped up (utils/slam_dataset.py:1345-1366)."""
+    binary = np.fromfile(path, dtype=np.int16)
+    x = binary[0::4].astype(np.float32) * 0.005 - 100.0
+    y = binary[1::4].astype(np.float32) * 0.005 - 100.0
+    z = binary[2::4].astype(np.float32) * 0.005 - 100.0
+    return np.stack([x, -y, -z], axis=1)
+
+
+# SemanticKITTI raw-id -> learning-id (0-20) lookup (the reference's
+# sem_kitti_learning_map, utils/semantic_kitti_utils.py:37-73)
+_SEM_KITTI_LEARNING_LUT = np.zeros(260, np.int32)
+for _raw, _learn in {
+    0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
+    31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 20,
+    60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19, 99: 20, 252: 1, 253: 7,
+    254: 6, 255: 8, 256: 5, 257: 5, 258: 4, 259: 5,
+}.items():
+    _SEM_KITTI_LEARNING_LUT[_raw] = _learn
+
+
+def read_semantic_point_label(
+    bin_path: str, label_path: str
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SemanticKITTI frame: (points[N,4] xyz+intensity, raw labels[N],
+    reduced learning labels[N] in 0-20) —
+    utils/slam_dataset.py:1066-1094 semantics with an O(1) LUT instead of
+    np.vectorize."""
+    points = np.fromfile(bin_path, dtype=np.float32).reshape(-1, 4)
+    labels = np.fromfile(label_path, dtype=np.uint32).reshape(-1)
+    labels = (labels & 0xFFFF).astype(np.int32)
+    reduced = _SEM_KITTI_LEARNING_LUT[np.clip(labels, 0, 259)]
+    return points, labels, reduced
+
+
+def filter_sem_kitti_mask(
+    sem_labels_raw: np.ndarray, filter_outlier=True, filter_moving=False
+) -> np.ndarray:
+    """Keep-mask for semantic frames (utils/slam_dataset.py:1293-1317):
+    drop label<=1 outliers, optionally drop moving classes (raw id >=100)."""
+    keep = sem_labels_raw > 1 if filter_outlier else sem_labels_raw >= 0
+    if filter_moving:
+        keep = keep & (sem_labels_raw < 100)
+    return keep
+
+
 def read_point_cloud(
     path: str, color_channel: int = 0, use_native: Optional[bool] = None
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
@@ -195,7 +272,7 @@ def read_point_cloud(
     Parses via the native C++ runtime when it is available (same output,
     ~an order of magnitude faster on ascii formats); ``use_native=False``
     or env CLID_NATIVE=0 forces the pure-numpy path."""
-    if use_native is not False:
+    if use_native is not False and not path.lower().endswith(".las"):
         from .. import native
 
         if native.available():
@@ -210,6 +287,8 @@ def read_point_cloud(
     if ext == ".bin":
         data = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
         pts = data[:, :3] if color_channel == 0 else data
+    elif ext == ".las":
+        pts = read_las(path, color_channel)
     elif ext == ".ply":
         d = read_ply(path)
         pts = np.stack([d["x"], d["y"], d["z"]], -1).astype(np.float32)
