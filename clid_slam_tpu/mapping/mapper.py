@@ -76,8 +76,10 @@ def make_mapping_fn(
     encode_vecs=None,
     weighted_first: bool = True,
     layer_norm: bool = False,
+    as_body: bool = False,
 ):
-    """Build the jitted per-frame map optimization function.
+    """Build the jitted per-frame map optimization function
+    (``as_body=True``: unjitted, for fusion into a larger step).
 
     Color (intensity/RGB) regression trains a second feature slab + MLP
     sharing the geometric kNN (utils/mapper.py:686-689, 820-830); semantic
@@ -195,7 +197,6 @@ def make_mapping_fn(
 
     grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def mapping(
         map_state: nm.NeuralMapState,
         mlp: dec.MLPParams,
@@ -291,7 +292,9 @@ def make_mapping_fn(
         )
         return new_state, mlp_out, color_mlp_out, sem_mlp_out, losses
 
-    return mapping
+    if as_body:
+        return mapping
+    return partial(jax.jit, donate_argnums=(0,))(mapping)
 
 
 def make_novelty_fn(

@@ -54,10 +54,13 @@ def make_prep_fn(
     filter_pool_now: bool = True,
     pin_mode: bool = False,
     behind_dropoff_on: bool = False,
+    as_body: bool = False,
 ):
+    """``as_body=True`` returns the unjitted function for fusion into a
+    larger jitted step (pipeline/streaming.py); otherwise a standalone
+    jitted executable with donated map/local/pool buffers."""
     one_cell_mvd2 = 3.0 * (2.0 * resolution) ** 2
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def prep(
         map_state: nm.NeuralMapState,
         local_map: lm.LocalMapState,
@@ -163,4 +166,6 @@ def make_prep_fn(
             jnp.sum(batch.mask.astype(jnp.int32)),
         )
 
-    return prep
+    if as_body:
+        return prep
+    return partial(jax.jit, donate_argnums=(0, 1, 2))(prep)

@@ -352,6 +352,283 @@ def make_h_reduce_fn(
     return h_reduce
 
 
+def device_predict_imu(rot, pos, vel, bg, ba, grav, P, Q, imu_rows, imu_count):
+    """IMU forward propagation on device, f32 (host-f64 semantics of
+    utils/error_state_iekf.py:126-165). ``imu_rows`` is a fixed-size
+    [K,7] (dt, acc, gyro) buffer; rows past ``imu_count`` are no-ops."""
+    I3 = jnp.eye(3, dtype=jnp.float32)
+
+    def skew(v):
+        return jnp.array(
+            [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]],
+            jnp.float32,
+        )
+
+    def body(i, carry):
+        rot, pos, vel, bg, ba, grav, P = carry
+        row = imu_rows[i]
+        live = (i < imu_count).astype(jnp.float32)
+        dt = row[0] * live  # dt=0 => exact identity step
+        acc, gyro = row[1:4], row[4:7]
+        a_c = acc - ba
+        f_vel = rot @ a_c + grav
+        F = jnp.eye(18, dtype=jnp.float32)
+        F = F.at[0:3, 9:12].set(-I3 * dt)
+        F = F.at[3:6, 6:9].set(I3 * dt)
+        F = F.at[6:9, 0:3].set(-(rot @ skew(a_c)) * dt)
+        F = F.at[6:9, 12:15].set(-rot * dt)
+        F = F.at[6:9, 15:18].set(I3 * dt)
+        Fw = jnp.zeros((18, 12), jnp.float32)
+        Fw = Fw.at[0:3, 0:3].set(-I3 * dt)
+        Fw = Fw.at[6:9, 3:6].set(-rot * dt)
+        Fw = Fw.at[9:12, 6:9].set(I3 * dt)
+        Fw = Fw.at[12:15, 9:12].set(I3 * dt)
+        from ..utils import lie
+
+        rot_n = rot @ lie.so3_exp((gyro - bg) * dt)
+        pos_n = pos + vel * dt
+        vel_n = vel + f_vel * dt
+        P_n = F @ P @ F.T + Fw @ Q @ Fw.T
+        return (rot_n, pos_n, vel_n, bg, ba, grav, P_n)
+
+    return jax.lax.fori_loop(
+        0, imu_rows.shape[0], body, (rot, pos, vel, bg, ba, grav, P)
+    )
+
+
+def make_cached_update_fn(
+    *,
+    knn_k: int,
+    n_cand: int,
+    nb_offs,
+    resolution: float,
+    max_valid_dist2: float,
+    sdf_scale: float,
+    min_grad_norm: float,
+    max_grad_norm: float,
+    min_nn_count: int,
+    max_iteration: int,
+    term_thre_deg: float,
+    term_thre_m: float,
+    eps: float = 0.001,
+    min_valid_ratio: float = 0.2,
+    mlp_leaky: bool = False,
+    mlp_bf16: bool = False,
+    rotate_vecs: bool = False,
+    encode_vecs=None,
+    weighted_first: bool = True,
+    layer_norm: bool = False,
+    max_sdf_std: float = float("inf"),
+):
+    """Candidate-cached iterated IESEKF update (unjitted body).
+
+    TPU-native redesign of the per-iteration re-query
+    (utils/error_state_iekf.py:197-231 re-runs the full K-cell hash probe
+    every iteration): the IESEKF pose increments are millimetric relative
+    to the voxel size, so the kNN candidate set is FROZEN at the
+    IMU-propagated pose — one hash probe + one feature gather per frame —
+    and every iteration runs dense [S, n_cand] math (VPU/MXU only, zero
+    gathers). ``n_cand`` > knn_k gives slack so the true kNN of the
+    slightly-moved points stay inside the cached set.
+
+    Returns body(map_state, mlp, points_imu[S,3], mask[S], rot0, pos0,
+                 rest0[12], P, travel_dist, cur_ts, window)
+      -> (rot, pos, rest, P_new, ok, n_iter)
+    """
+    from ..utils import lie
+
+    term_rad = term_thre_deg * jnp.pi / 180.0
+
+    def _equilibrated_solve(A, B):
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(A), 1e-20))
+        Dinv = 1.0 / d
+        An = A * Dinv[:, None] * Dinv[None, :]
+        Bn = B * Dinv[:, None]
+        Xn = jnp.linalg.solve(An, Bn)
+        return Xn * Dinv[:, None]
+
+    def body(
+        map_state: nm.NeuralMapState,
+        mlp: dec.MLPParams,
+        points_imu,
+        mask,
+        rot0,
+        pos0,
+        rest0,
+        P,
+        travel_dist,
+        cur_ts,
+        window,
+    ):
+        cap = nm.map_capacity(map_state)
+        # ---- one probe + gather at the propagated pose
+        pc0 = points_imu @ rot0.T + pos0
+        d2, h, pvalid, mir = nm.neighborhood_probe(
+            map_state, pc0, nb_offs, resolution, max_valid_dist2,
+            travel_dist, cur_ts, window, True,
+        )
+        d2s = jnp.where(pvalid, d2, 9e3)
+        neg, sel = jax.lax.top_k(-d2s, n_cand)  # [S,n_cand] nearest cells
+        h_sel = jnp.take_along_axis(h, sel, axis=1)
+        cvalid = jnp.take_along_axis(pvalid, sel, axis=1)
+        dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
+            jnp.tri(n_cand, n_cand, -1, dtype=bool)[None]
+        )
+        cvalid = cvalid & ~jnp.any(dup, axis=-1)
+        idx = map_state.hash_table[h_sel]
+        cvalid = cvalid & (idx >= 0)
+        safe = jnp.where(cvalid, idx, cap)
+        cand_pos = jnp.take_along_axis(mir, sel[..., None], axis=1)[..., :3]
+        cand_feat = map_state.geo_feats[safe]  # [S,n_cand,F]
+        if layer_norm:
+            mu = jnp.mean(cand_feat, axis=-1, keepdims=True)
+            var = jnp.var(cand_feat, axis=-1, keepdims=True)
+            cand_feat = (cand_feat - mu) * jax.lax.rsqrt(var + 1e-5)
+        cand_feat = jnp.where(cvalid[..., None], cand_feat, 0.0)
+        if rotate_vecs:
+            cand_quat = map_state.quats[safe] * jnp.array(
+                [1.0, -1.0, -1.0, -1.0]
+            )
+        n_total = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+        # ---- dense per-iteration measurement reduction on the cache
+        def h_reduce_cached(rot, pos):
+            pc_map = points_imu @ rot.T + pos
+
+            def sdf_sum(pc):
+                vecs = pc[:, None, :] - cand_pos  # [S,C,3]
+                cd2 = jnp.sum(vecs * vecs, axis=-1)
+                valid = cvalid & (cd2 <= max_valid_dist2)
+                nn_count = jnp.sum(valid.astype(jnp.int32), axis=-1)
+                cd2s = jnp.where(valid, cd2, 9e3)
+                negk, selk = jax.lax.top_k(-cd2s, knn_k)  # [S,k]
+                kd2 = -negk
+                kvalid = jnp.take_along_axis(valid, selk, axis=1)
+                feats = jnp.take_along_axis(
+                    cand_feat, selk[..., None], axis=1
+                )
+                kvecs = jnp.take_along_axis(vecs, selk[..., None], axis=1)
+                if rotate_vecs:
+                    q = jnp.take_along_axis(
+                        cand_quat, selk[..., None], axis=1
+                    )
+                    w_, u = q[..., :1], q[..., 1:]
+                    uv = jnp.cross(u, kvecs)
+                    kvecs = kvecs + 2.0 * (w_ * uv + jnp.cross(u, uv))
+                if encode_vecs is not None:
+                    kvecs = encode_vecs(kvecs)
+                kvecs = jnp.where(kvalid[..., None], kvecs, 0.0)
+                epsw = 1e-15
+                w = 1.0 / (kd2 + epsw)
+                w = jnp.where(kvalid, w, 0.0)
+                w = jnp.where((nn_count == 0)[:, None], epsw, w)
+                w = w / jnp.sum(w, axis=1, keepdims=True)
+                w = jnp.where(kvalid, w, 0.0)
+                feat_vec = jnp.concatenate([feats, kvecs], axis=-1)
+                if weighted_first:
+                    feature = jnp.sum(feat_vec * w[..., None], axis=1)
+                    pred = dec.sdf(
+                        mlp, feature, sdf_scale, leaky=mlp_leaky,
+                        bf16=mlp_bf16,
+                    )
+                    sdf_std = jnp.zeros(pc.shape[0])
+                else:
+                    pred_k = dec.sdf(
+                        mlp, feat_vec, sdf_scale, leaky=mlp_leaky,
+                        bf16=mlp_bf16,
+                    )
+                    pred = jnp.sum(pred_k * w, axis=1)
+                    var = jnp.sum(w * (pred_k - pred[:, None]) ** 2, axis=1)
+                    sdf_std = jnp.sqrt(jnp.maximum(var, 0.0))
+                return jnp.sum(pred), (pred, nn_count, sdf_std)
+
+            grad, (sdf_pred, nn_count, sdf_std) = jax.grad(
+                sdf_sum, has_aux=True
+            )(pc_map)
+            grad_norm = jnp.linalg.norm(grad, axis=-1)
+            valid = (
+                mask
+                & (nn_count >= min_nn_count)
+                & (grad_norm > min_grad_norm)
+                & (grad_norm < max_grad_norm)
+            )
+            if not weighted_first:
+                valid = valid & (sdf_std < max_sdf_std)
+            vf = valid.astype(jnp.float32)
+            gR = grad @ rot
+            h_rot = jnp.cross(points_imu, gR, axis=-1)
+            H = jnp.concatenate([h_rot, grad], axis=-1)
+            w_grad = 1.0 / (1.0 + (grad_norm - 1.0) ** 2)
+            w_res = 0.4 / (0.4 + sdf_pred**2)
+            r_inv = 1000.0 * w_grad * w_res * vf
+            hp = jax.lax.Precision.HIGHEST
+            S6 = jnp.einsum("n,ni,nj->ij", r_inv, H, H, precision=hp)
+            b6 = jnp.einsum("n,ni,n->i", r_inv, H, sdf_pred, precision=hp)
+            return S6, b6, jnp.sum(vf)
+
+        P_inv = _equilibrated_solve(P, jnp.eye(18, dtype=jnp.float32))
+        I18 = jnp.eye(18, dtype=jnp.float32)
+
+        def cond(carry):
+            i, _, _, _, _, _, done, _, _ = carry
+            return (i < max_iteration) & ~done
+
+        def it_body(carry):
+            i, rot, pos, rest, _, _, _, _, prev_step = carry
+            drot = lie.so3_log(rot0.T @ rot)
+            dx_new = jnp.concatenate([drot, pos - pos0, rest - rest0])
+            S6, b6, n_valid = h_reduce_cached(rot, pos)
+            S18 = jnp.zeros((18, 18), jnp.float32).at[:6, :6].set(S6)
+            b18 = jnp.zeros((18,), jnp.float32).at[:6].set(b6)
+            A = S18 + P_inv
+            sol = _equilibrated_solve(
+                A, jnp.concatenate([b18[:, None], S18], axis=1)
+            )
+            KH = sol[:, 1:]
+            dx = -sol[:, 0] + (KH - I18) @ dx_new
+            rot = rot @ lie.so3_exp(dx[0:3])
+            pos = pos + dx[3:6]
+            rest = rest + dx[6:18]
+            tran_m = jnp.linalg.norm(dx[3:6])
+            rot_rad = jnp.linalg.norm(dx[0:3])
+            converged = (
+                (rot_rad < term_rad)
+                & (tran_m < term_thre_m)
+                & jnp.all(jnp.abs(dx[6:]) < eps)
+            )
+            step = rot_rad + tran_m
+            stalled = (i >= 10) & (step >= prev_step)
+            low_valid = (n_valid / n_total < min_valid_ratio) & (
+                i == max_iteration - 1
+            )
+            return (
+                i + 1, rot, pos, rest, KH, n_valid,
+                converged | low_valid | stalled, ~low_valid, step,
+            )
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            rot0,
+            pos0,
+            rest0,
+            jnp.zeros((18, 18), jnp.float32),
+            jnp.zeros(()),
+            jnp.zeros((), bool),
+            jnp.ones((), bool),
+            jnp.full((), jnp.inf),
+        )
+        i, rot, pos, rest, KH, n_valid, _, ok, _ = jax.lax.while_loop(
+            cond, it_body, init
+        )
+        ok = ok & ~(
+            (n_valid / n_total < min_valid_ratio) & (i == max_iteration)
+        )
+        P_new = (I18 - KH) @ P
+        return rot, pos, rest, P_new, ok, i
+
+    return body
+
+
 def make_update_iterated_fn(
     *,
     knn_k: int,

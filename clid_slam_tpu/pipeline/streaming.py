@@ -1,0 +1,634 @@
+"""Zero-readback streaming SLAM loop — the TPU-native production path.
+
+The classic loop (pipeline/slam.py) mirrors the reference's host-driven
+frame structure (slam.py:135-389): the host reads back the pose, filter
+state, and counters every frame. On a remote-attached TPU runtime every
+device->host readback forces the dispatch path out of its pipelined mode
+(measured on this pool: 0.07 ms -> 24 ms per dispatch, permanently), and
+even on a local chip it serializes the pipeline.
+
+This module keeps the ENTIRE recurrent state of the SLAM system on device:
+
+- the 18-state IESEKF (f32, equilibrated solves — validated against the
+  f64 host filter), propagated AND updated inside the frame step;
+- odometry bookkeeping: pose history, travel distance, stop detection,
+  lose-track / failure flags (utils/slam_dataset.py:505-577 semantics);
+- the neural map, local label map, replay pool, decoder params;
+- the adaptive-iteration controller (utils/mapper.py:446-459) — the
+  mapping fori_loop trip count is a device scalar.
+
+One frame = ONE fused jitted call (predict + deskew + iterated update +
+map prep + adaptive iters + mapping), with donated state. The host only
+uploads scan buffers and enqueues; results are fetched once at the end
+(`sync()`). Tracking uses the candidate-cached iterated update
+(odometry/iekf.py:make_cached_update_fn): one hash probe + feature gather
+per frame, dense math per iteration.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..mapping import mapper as mp
+from ..mapping import prep as prp
+from ..models import decoder as dec
+from ..models import local_map as lm
+from ..models import neural_map as nm
+from ..odometry import iekf
+from ..ops.encoding import make_encoder
+from ..ops.voxel import neighbor_offsets, voxel_down_sample_mask
+from ..utils import lie
+from ..utils.transforms import crop_mask, deskew
+from .dataset import SLAMDataset
+
+G_M_S2 = iekf.G_M_S2
+
+
+class StreamState(NamedTuple):
+    # IESEKF (f32 on device; see odometry/iekf.py numerics notes)
+    rot: jnp.ndarray  # [3,3]
+    pos: jnp.ndarray  # [3]
+    rest: jnp.ndarray  # [12] vel, bg, ba, grav
+    P: jnp.ndarray  # [18,18]
+    # odometry bookkeeping (utils/slam_dataset.py:505-577)
+    last_pose: jnp.ndarray  # [4,4]
+    odom_poses: jnp.ndarray  # [T,4,4]
+    travel_dist: jnp.ndarray  # [T]
+    lose_track: jnp.ndarray  # bool
+    consec_lose: jnp.ndarray  # i32
+    stop_count: jnp.ndarray  # i32
+    stop_status: jnp.ndarray  # bool
+    failed: jnp.ndarray  # bool (unrecoverable: too-large tran / lost >10)
+    # map + training state
+    map_state: nm.NeuralMapState
+    local_map: lm.LocalMapState
+    pool: object
+    mlp: dec.MLPParams
+    color_mlp: dec.MLPParams
+    sem_mlp: dec.MLPParams
+    key: jnp.ndarray
+    # diagnostics (device scalars, fetched only at sync)
+    losses: jnp.ndarray  # [T,2] (sdf, eik) per frame
+    track_iters: jnp.ndarray  # [T] i32
+
+
+def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
+    """Build the fused frame-step executables.
+
+    Returns a dict keyed by (track: bool, filter_pool_now: bool) of jitted
+    functions:
+      step(state, frame_id, points, pmask, point_ts, imu_rows, imu_count,
+           crop_max_range, iters_base, mlp_lr_scale, allow_restart)
+        -> new_state
+    """
+    max_valid_dist2 = 3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
+    max_sdf_std = cfg.surface_sample_range_m * cfg.max_sdf_std_ratio
+    S = cfg.max_source_points
+    window = cfg.diff_travel_dist_local
+
+    cached_update = iekf.make_cached_update_fn(
+        knn_k=cfg.query_nn_k,
+        n_cand=max(16, cfg.query_nn_k * 2),
+        nb_offs=nb_offs,
+        resolution=cfg.voxel_size_m,
+        max_valid_dist2=max_valid_dist2,
+        sdf_scale=cfg.sdf_scale,
+        min_grad_norm=cfg.reg_min_grad_norm,
+        max_grad_norm=cfg.reg_max_grad_norm,
+        min_nn_count=cfg.track_mask_query_nn_k,
+        max_iteration=cfg.reg_iter_n,
+        term_thre_deg=cfg.reg_term_thre_deg,
+        term_thre_m=cfg.reg_term_thre_m,
+        mlp_leaky=cfg.mlp_leaky_relu,
+        mlp_bf16=cfg.mlp_bf16,
+        encode_vecs=encode_vecs,
+        weighted_first=cfg.weighted_first,
+        layer_norm=cfg.layer_norm_on,
+        max_sdf_std=max_sdf_std,
+    )
+
+    mapping_body = mp.make_mapping_fn(
+        feature_dim=cfg.feature_dim,
+        knn_k=cfg.query_nn_k,
+        nb_offs=nb_offs,
+        resolution=cfg.voxel_size_m,
+        max_valid_dist2=max_valid_dist2,
+        sdf_scale=cfg.sdf_scale,
+        sigma=cfg.sdf_scale,
+        bs=cfg.bs,
+        bs_new=cfg.bs_new_sample,
+        gradient_decimation=cfg.gradient_decimation,
+        num_grad_eps=cfg.num_grad_eps,
+        weight_e=cfg.weight_e,
+        loss_weight_on=cfg.loss_weight_on,
+        lr=cfg.lr,
+        adam_eps=cfg.adam_eps,
+        mlp_leaky=cfg.mlp_leaky_relu,
+        mlp_bf16=cfg.mlp_bf16,
+        color_on=cfg.color_on,
+        sem_on=cfg.semantic_on,
+        weight_i=cfg.weight_i,
+        weight_s=cfg.weight_s,
+        surface_sample_range_m=cfg.surface_sample_range_m,
+        encode_vecs=encode_vecs,
+        weighted_first=cfg.weighted_first,
+        layer_norm=cfg.layer_norm_on,
+        as_body=True,
+    )
+
+    prep_bodies = {
+        fp: prp.make_prep_fn(
+            resolution=cfg.voxel_size_m,
+            local_resolution=cfg.local_voxel_size_m,
+            local_map_size=cfg.local_map_size,
+            window_radius=cfg.window_radius,
+            surface_sample_range_m=cfg.surface_sample_range_m,
+            surface_sample_n=cfg.surface_sample_n,
+            free_front_n=cfg.free_front_n,
+            free_behind_n=cfg.free_behind_n,
+            free_sample_begin_ratio=cfg.free_sample_begin_ratio,
+            free_sample_end_dist_m=cfg.free_sample_end_dist_m,
+            max_range=cfg.max_range,
+            dist_weight_on=cfg.dist_weight_on,
+            dist_weight_scale=cfg.dist_weight_scale,
+            map_surface_ratio=cfg.map_surface_ratio,
+            from_sample_points=cfg.from_sample_points,
+            new_certainty_thre=cfg.new_certainty_thre,
+            novelty_on=cfg.bs_new_sample > 0,
+            filter_pool_now=fp,
+            pin_mode=cfg.use_pin_mapper,
+            behind_dropoff_on=cfg.behind_dropoff_on,
+            as_body=True,
+        )
+        for fp in (False, True)
+    }
+
+    def _orthonormalize(R):
+        """Project an almost-rotation back to SO(3) (Gram-Schmidt; the f32
+        while_loop drifts the determinant by ~1e-6/frame)."""
+        a = R[:, 0] / jnp.linalg.norm(R[:, 0])
+        b = R[:, 1] - jnp.dot(a, R[:, 1]) * a
+        b = b / jnp.linalg.norm(b)
+        c = jnp.cross(a, b)
+        return jnp.stack([a, b, c], axis=1)
+
+    def make_step(track: bool, filter_pool_now: bool):
+        prep_body = prep_bodies[filter_pool_now]
+
+        def step(
+            state: StreamState,
+            frame_id,  # device i32
+            points,  # [P,3] sensor frame, padded
+            pmask,  # [P]
+            point_ts,  # [P] in [0,1] (zeros when deskew off)
+            imu_rows,  # [K,7]
+            imu_count,  # i32
+            crop_max_range,  # f32 (host-computed adaptive range)
+            iters_base,  # i32
+            mlp_lr_scale,  # f32
+            allow_restart,  # bool (frame_id > freeze_after_frame)
+        ) -> StreamState:
+            # ---- device preprocess: crop + voxel masks
+            pmask = pmask & crop_mask(
+                points, cfg.min_z, cfg.max_z, cfg.min_range, crop_max_range
+            )
+            scale = crop_max_range / cfg.max_range
+            train_mask = voxel_down_sample_mask(
+                points, pmask, scale * cfg.vox_down_m, cfg.map_hash_size
+            )
+
+            rot, pos = state.rot, state.pos
+            rest, P = state.rest, state.P
+            odom_poses = state.odom_poses
+            travel_dist = state.travel_dist
+            lose_track = state.lose_track
+            consec_lose = state.consec_lose
+            stop_count, stop_status = state.stop_count, state.stop_status
+            failed = state.failed
+            track_iters = state.track_iters
+
+            if track:
+                # IMU propagation (utils/slam_dataset.py:380-393 drives
+                # tracker.predict per IMU row)
+                Q = jnp.zeros((12, 12), jnp.float32)
+                Q = Q.at[0:3, 0:3].set(
+                    cfg.measurement_noise_covariance * jnp.eye(3)
+                )
+                Q = Q.at[3:6, 3:6].set(
+                    cfg.measurement_noise_covariance * jnp.eye(3)
+                )
+                Q = Q.at[6:9, 6:9].set(
+                    cfg.bias_noise_covariance * jnp.eye(3)
+                )
+                Q = Q.at[9:12, 9:12].set(
+                    cfg.bias_noise_covariance * jnp.eye(3)
+                )
+                vel, bg, ba, grav = (
+                    rest[0:3], rest[3:6], rest[6:9], rest[9:12]
+                )
+                rot, pos, vel, bg, ba, grav, P = iekf.device_predict_imu(
+                    rot, pos, vel, bg, ba, grav, P, Q, imu_rows, imu_count
+                )
+                rest = jnp.concatenate([vel, bg, ba, grav])
+
+                # source cloud: voxel downsample + compact to S rows
+                src_mask = voxel_down_sample_mask(
+                    points, train_mask, scale * cfg.source_vox_down_m,
+                    cfg.map_hash_size,
+                )
+                n_src = jnp.sum(src_mask.astype(jnp.int32))
+                (src_idx,) = jnp.nonzero(src_mask, size=S, fill_value=0)
+                smask = jnp.arange(S) < n_src
+                src_pts = points[src_idx]
+                if cfg.deskew:
+                    # deskew with the IMU-propagated relative guess
+                    guess = (
+                        jnp.eye(4, dtype=jnp.float32)
+                        .at[:3, :3].set(rot)
+                        .at[:3, 3].set(pos)
+                    )
+                    rel = jnp.linalg.inv(state.last_pose) @ guess
+                    src_pts = deskew(src_pts, point_ts[src_idx], rel)
+
+                rot, pos, rest, P, ok, n_iter = cached_update(
+                    state.map_state, state.mlp, src_pts, smask,
+                    rot, pos, rest, P, travel_dist, frame_id, window,
+                )
+                rot = _orthonormalize(rot)
+                track_iters = track_iters.at[frame_id].set(n_iter)
+
+                pose = (
+                    jnp.eye(4, dtype=jnp.float32)
+                    .at[:3, :3].set(rot)
+                    .at[:3, 3].set(pos)
+                )
+                # odometry bookkeeping (utils/slam_dataset.py:505-577)
+                last_tran = jnp.linalg.inv(state.last_pose) @ pose
+                tran_norm = jnp.linalg.norm(last_tran[:3, 3])
+                near_I = jnp.all(
+                    jnp.abs(last_tran[:3, :3] - jnp.eye(3)) < 1e-3
+                ) & jnp.all(
+                    jnp.abs(last_tran[:3, 3]) < cfg.voxel_size_m * 0.1
+                )
+                stop_count = jnp.where(near_I, stop_count + 1, 0)
+                stop_status = stop_count > cfg.stop_frame_thre
+                too_big = tran_norm > cfg.surface_sample_range_m * 40.0
+                lose_track = ~ok | too_big
+                consec_lose = jnp.where(lose_track, consec_lose + 1, 0)
+                failed = failed | too_big | (consec_lose > 10)
+                travel_dist = travel_dist.at[frame_id].set(
+                    travel_dist[jnp.maximum(frame_id - 1, 0)] + tran_norm
+                )
+                odom_poses = odom_poses.at[frame_id].set(pose)
+                if cfg.deskew:
+                    full = deskew(points, point_ts, last_tran)
+                    points = jnp.where(train_mask[:, None], full, points)
+                last_pose = pose
+            else:
+                pose = (
+                    jnp.eye(4, dtype=jnp.float32)
+                    .at[:3, :3].set(rot)
+                    .at[:3, 3].set(pos)
+                )
+                odom_poses = odom_poses.at[frame_id].set(pose)
+                travel_dist = travel_dist.at[frame_id].set(
+                    travel_dist[jnp.maximum(frame_id - 1, 0)]
+                )
+                last_pose = pose
+
+            # ---- map prep, gated by tracking validity (slam.py:167-181:
+            # a lost/stopped frame must not corrupt the map)
+            valid_mapping = ~lose_track & ~stop_status
+            key, k_prep = jax.random.split(state.key)
+            res = prep_body(
+                state.map_state,
+                state.local_map,
+                state.pool,
+                k_prep,
+                points,
+                train_mask & valid_mapping,
+                pose,
+                travel_dist,
+                frame_id,
+                window,
+                None,
+                None,
+            )
+
+            # ---- adaptive iteration offset (utils/mapper.py:446-459)
+            iters = iters_base
+            if cfg.adaptive_iters and cfg.bs_new_sample > 0:
+                ratio = res.new_sample_count / jnp.maximum(
+                    res.cur_sample_count, 1
+                )
+                offset = jnp.where(
+                    ratio < cfg.new_sample_ratio_less,
+                    -5,
+                    jnp.where(
+                        ratio > cfg.new_sample_ratio_more,
+                        jnp.where(
+                            allow_restart
+                            & (ratio > cfg.new_sample_ratio_restart),
+                            10,
+                            5,
+                        ),
+                        0,
+                    ),
+                )
+                iters = iters + offset
+            iters = jnp.where(stop_status, iters - 10, iters)
+            iters = jnp.maximum(iters, 1)
+
+            key, k_map = jax.random.split(key)
+            map_state, mlp, color_mlp, sem_mlp, loss2 = mapping_body(
+                res.map_state,
+                state.mlp,
+                state.color_mlp,
+                state.sem_mlp,
+                res.pool,
+                travel_dist,
+                frame_id,
+                window,
+                k_map,
+                iters,
+                mlp_lr_scale,
+            )
+            losses = state.losses.at[frame_id].set(loss2)
+
+            return StreamState(
+                rot=rot,
+                pos=pos,
+                rest=rest,
+                P=P,
+                last_pose=last_pose,
+                odom_poses=odom_poses,
+                travel_dist=travel_dist,
+                lose_track=lose_track,
+                consec_lose=consec_lose,
+                stop_count=stop_count,
+                stop_status=stop_status,
+                failed=failed,
+                map_state=map_state,
+                local_map=res.local_map,
+                pool=res.pool,
+                mlp=mlp,
+                color_mlp=color_mlp,
+                sem_mlp=sem_mlp,
+                key=key,
+                losses=losses,
+                track_iters=track_iters,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    return {
+        (tr, fp): make_step(tr, fp)
+        for tr in (False, True)
+        for fp in (False, True)
+    }
+
+
+class StreamingSlam:
+    """Host driver for the zero-readback loop. Mirrors SlamSystem's
+    surface (process_frame / finalize) but never reads device state inside
+    the loop; call ``sync()`` (or ``finalize``) to materialize results."""
+
+    def __init__(self, cfg: Config, total_frames: int = 1024):
+        self.cfg = cfg
+        self.total_frames = total_frames
+        self.nb_offs = neighbor_offsets(cfg.num_nei_cells, cfg.search_alpha)
+        self.encode_vecs, _ = make_encoder(
+            num_bands=cfg.pos_encoding_band,
+            freq=cfg.pos_encoding_freq,
+            base=cfg.pos_encoding_base,
+            use_gaussian=cfg.use_gaussian_pe,
+            input_dim=cfg.pos_input_dim,
+            seed=cfg.seed,
+        )
+        self.steps = make_frame_step(
+            cfg, self.nb_offs, self.encode_vecs, total_frames=total_frames
+        )
+        self.dataset = SLAMDataset(cfg, tracker=None, min_frames=total_frames)
+        self._init_state()
+        self.processed = 0
+        self.imu_max_rows = 64
+
+    def _init_state(self):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        mlp = dec.init_mlp(
+            k1, cfg.feature_dim + cfg.position_dim, cfg.geo_mlp_hidden_dim,
+            cfg.geo_mlp_level, 1, cfg.mlp_bias_on,
+        )
+        color_mlp = dec.init_mlp(
+            k2, cfg.feature_dim + cfg.position_dim,
+            cfg.color_mlp_hidden_dim, cfg.color_mlp_level,
+            max(cfg.color_channel, 1), cfg.mlp_bias_on,
+        )
+        sem_mlp = dec.init_mlp(
+            k3, cfg.feature_dim + cfg.position_dim, cfg.sem_mlp_hidden_dim,
+            cfg.sem_mlp_level,
+            cfg.sem_class_count if cfg.semantic_on else 1, cfg.mlp_bias_on,
+        )
+        P = np.eye(18, dtype=np.float32)
+        P[9:12, 9:12] *= 1e-4
+        P[12:15, 12:15] *= 1e-3
+        P[15:18, 15:18] *= 1e-4
+        rest = np.zeros(12, np.float32)
+        rest[9:12] = cfg.init_gravity or [0.0, 0.0, -G_M_S2]
+        if cfg.init_bg is not None:
+            rest[3:6] = cfg.init_bg
+        if cfg.init_ba is not None:
+            rest[6:9] = cfg.init_ba
+        T = self.total_frames
+        from ..mapping import pool as pl
+
+        self.state = StreamState(
+            rot=jnp.eye(3, dtype=jnp.float32),
+            pos=jnp.zeros(3, jnp.float32),
+            rest=jnp.asarray(rest),
+            P=jnp.asarray(P),
+            last_pose=jnp.eye(4, dtype=jnp.float32),
+            odom_poses=jnp.tile(
+                jnp.eye(4, dtype=jnp.float32)[None], (T, 1, 1)
+            ),
+            travel_dist=jnp.zeros((T,), jnp.float32),
+            lose_track=jnp.zeros((), bool),
+            consec_lose=jnp.zeros((), jnp.int32),
+            stop_count=jnp.zeros((), jnp.int32),
+            stop_status=jnp.zeros((), bool),
+            failed=jnp.zeros((), bool),
+            map_state=nm.init_map(
+                cfg.map_capacity, cfg.map_hash_size, cfg.feature_dim,
+                cfg.feature_dim if cfg.color_on else 1,
+            ),
+            local_map=lm.init_local_map(
+                cfg.local_map_capacity, cfg.local_map_hash_size
+            ),
+            pool=pl.init_pool(
+                cfg.pool_capacity,
+                cfg.max_scan_points * cfg.all_sample_n,
+                max(cfg.color_channel, 1),
+            ),
+            mlp=mlp,
+            color_mlp=color_mlp,
+            sem_mlp=sem_mlp,
+            key=key,
+            losses=jnp.zeros((T, 2), jnp.float32),
+            track_iters=jnp.zeros((T,), jnp.int32),
+        )
+
+    def seed_pose(self, rot: np.ndarray, pos: np.ndarray, vel=None):
+        """Anchor the initial pose (and optionally velocity) before
+        frame 0 — the gt[0]-anchoring path (pipeline/slam.py frame-0
+        branch)."""
+        st = self.state
+        rest = np.asarray(st.rest)
+        if vel is not None:
+            rest = rest.copy()
+            rest[0:3] = vel
+        self.state = st._replace(
+            rot=jnp.asarray(rot, jnp.float32),
+            pos=jnp.asarray(pos, jnp.float32),
+            rest=jnp.asarray(rest, jnp.float32),
+            last_pose=jnp.asarray(
+                np.block(
+                    [[rot, np.asarray(pos).reshape(3, 1)], [0, 0, 0, 1]]
+                ).astype(np.float32)
+            ),
+        )
+
+    # ----------------------------------------------------------- main step
+    def process_frame(
+        self,
+        frame_id: int,
+        points: Optional[np.ndarray] = None,
+        imu_window: Optional[np.ndarray] = None,
+        point_ts=None,
+    ):
+        cfg = self.cfg
+        d = self.dataset
+        if points is None:
+            d.read_frame(frame_id)
+            imu_window = d.read_imu_window(frame_id)
+            points = d._raw_points
+            point_ts = d._raw_ts
+        else:
+            d.read_frame_arrays(points, point_ts)
+            points = d._raw_points
+            point_ts = d._raw_ts
+
+        # host-side preprocess: adaptive range + pad/truncate
+        crop_max_range = cfg.max_range
+        if cfg.adaptive_range_on:
+            mx = np.abs(points).max(0)
+            mn = np.abs(points).min(0)
+            inner = max(min(mx[0], mn[0]), min(mx[1], mn[1]))
+            crop_max_range = min(cfg.max_range, 2.0 * float(inner))
+
+        p_cap = cfg.max_scan_points
+        n = points.shape[0]
+        if n > p_cap:
+            sel = np.random.default_rng(frame_id).permutation(n)[:p_cap]
+            sel.sort()
+            points = points[sel]
+            point_ts = point_ts[sel] if point_ts is not None else None
+            n = p_cap
+        buf = np.zeros((p_cap, 3), np.float32)
+        buf[:n] = points[:, :3]
+        mask = np.zeros(p_cap, bool)
+        mask[:n] = True
+        ts_buf = np.zeros(p_cap, np.float32)
+        if point_ts is not None and cfg.deskew:
+            ts_buf[:n] = np.asarray(point_ts, np.float32).reshape(-1)[:n]
+
+        imu_rows = np.zeros((self.imu_max_rows, 7), np.float32)
+        imu_count = 0
+        if imu_window is not None and len(imu_window):
+            k = min(len(imu_window), self.imu_max_rows)
+            imu_rows[:k] = imu_window[:k]
+            imu_count = k
+
+        track = cfg.track_on and frame_id > 0
+        filter_now = (frame_id + 1) % cfg.pool_filter_freq == 0
+        step = self.steps[(track, filter_now)]
+
+        iters_base = (
+            cfg.iters * cfg.init_iter_ratio if frame_id == 0 else cfg.iters
+        )
+        mlp_scale = 0.0 if frame_id >= cfg.freeze_after_frame else 1.0
+
+        self.state = step(
+            self.state,
+            jnp.asarray(frame_id, jnp.int32),
+            jnp.asarray(buf),
+            jnp.asarray(mask),
+            jnp.asarray(ts_buf),
+            jnp.asarray(imu_rows),
+            jnp.asarray(imu_count, jnp.int32),
+            jnp.asarray(crop_max_range, jnp.float32),
+            jnp.asarray(iters_base, jnp.int32),
+            jnp.asarray(mlp_scale, jnp.float32),
+            jnp.asarray(frame_id > cfg.freeze_after_frame),
+        )
+
+        # prune cadence (separate executable, still zero readbacks)
+        if (
+            cfg.prune_map_on
+            and (frame_id + 1) % cfg.prune_freq_frame == 0
+        ):
+            self.state = self.state._replace(
+                map_state=nm.prune_and_rehash(
+                    self.state.map_state,
+                    cfg.max_prune_certainty,
+                    self.state.travel_dist,
+                    frame_id,
+                    cfg.diff_travel_dist_local,
+                    cfg.voxel_size_m,
+                )
+            )
+        self.processed = frame_id + 1
+
+    def block(self):
+        """Wait for all enqueued frames WITHOUT reading anything back
+        (keeps the pipelined dispatch mode engaged)."""
+        jax.block_until_ready(self.state.pos)
+
+    # ------------------------------------------------------------- results
+    def sync(self) -> dict:
+        """Materialize results on host (first device->host read)."""
+        st = self.state
+        n = self.processed
+        out = {
+            "odom_poses": np.asarray(st.odom_poses[:n], np.float64),
+            "travel_dist": np.asarray(st.travel_dist[:n], np.float64),
+            "losses": np.asarray(st.losses[:n]),
+            "track_iters": np.asarray(st.track_iters[:n]),
+            "failed": bool(st.failed),
+            "lose_track": bool(st.lose_track),
+            "neural_points": int(st.map_state.count),
+        }
+        d = self.dataset
+        d.odom_poses[:n] = out["odom_poses"]
+        d.travel_dist[:n] = out["travel_dist"]
+        d.processed_frame = n
+        if n:
+            d.cur_pose_ref = out["odom_poses"][n - 1]
+        return out
+
+    def finalize(self, run_path: str) -> dict:
+        os.makedirs(run_path, exist_ok=True)
+        out = self.sync()
+        result = self.dataset.write_results(run_path)
+        result["neural_points"] = out["neural_points"]
+        result["failed"] = out["failed"]
+        return result

@@ -1,0 +1,154 @@
+"""Streaming (zero-readback) loop: the candidate-cached tracker matches the
+re-query tracker, and the fused StreamingSlam loop tracks the synthetic
+sequence like the classic host-driven SlamSystem."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clid_slam_tpu.config import Config
+from clid_slam_tpu.models import decoder as dec
+from clid_slam_tpu.models import neural_map as nm
+from clid_slam_tpu.odometry import iekf
+from clid_slam_tpu.ops.voxel import neighbor_offsets
+from clid_slam_tpu.pipeline.streaming import StreamingSlam
+from clid_slam_tpu.pipeline.synthetic import generate_sequence
+from clid_slam_tpu.utils import metrics
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from test_slam_integration import tiny_config  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return generate_sequence(
+        n_frames=12, n_azimuth=256, n_elev=24, noise_std=0.01, seed=3
+    )
+
+
+def _trained_scene(rng, res=0.3):
+    """A neural map + decoder with a plausible SDF-ish field: points on a
+    sphere, features random, decoder random — enough to compare the two
+    update implementations numerically."""
+    n = 4000
+    u = rng.standard_normal((n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = (u * 3.0).astype(np.float32)
+    state = nm.init_map(1 << 13, 1 << 15, 8)
+    td = jnp.zeros((8,), jnp.float32)
+    state, _ = nm.insert_points(
+        state, jnp.asarray(pts), jnp.ones((n,), bool), res, td, 0, 1e9,
+        downsample=False,
+    )
+    cnt = int(state.count)
+    state = state._replace(
+        geo_feats=state.geo_feats.at[:cnt].set(
+            0.1 * jnp.asarray(rng.standard_normal((cnt, 8)).astype(np.float32))
+        )
+    )
+    mlp = dec.init_mlp(jax.random.PRNGKey(1), 11, 64, 1)
+    return state, mlp, td
+
+
+def test_cached_update_matches_requery_update(rng):
+    res = 0.3
+    nb = neighbor_offsets(2, 0.5)
+    mvd2 = 3.0 * (3 * res) ** 2
+    state, mlp, td = _trained_scene(rng, res)
+
+    kw = dict(
+        knn_k=6, nb_offs=nb, resolution=res, max_valid_dist2=mvd2,
+        sdf_scale=0.055, min_grad_norm=0.0, max_grad_norm=100.0,
+        min_nn_count=1, max_iteration=20, term_thre_deg=0.01,
+        term_thre_m=0.001,
+    )
+    upd_ref = iekf.make_update_iterated_fn(**kw)
+    upd_cached = jax.jit(iekf.make_cached_update_fn(n_cand=16, **kw))
+
+    # a scan of the sphere seen from inside, slightly perturbed pose
+    m = 512
+    u = rng.standard_normal((m, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts_imu = (u * 3.0).astype(np.float32)
+    mask = jnp.ones((m,), bool)
+    c, s = np.cos(0.01), np.sin(0.01)
+    rot0 = jnp.asarray(
+        np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    )
+    pos0 = jnp.asarray(np.array([0.02, -0.01, 0.005], np.float32))
+    rest0 = jnp.zeros(12, jnp.float32).at[9:12].set(
+        jnp.array([0, 0, -9.81])
+    )
+    P = jnp.eye(18, dtype=jnp.float32) * 1e-2
+
+    r1 = upd_ref(
+        state, mlp, jnp.asarray(pts_imu), mask, rot0, pos0, rest0, P,
+        td, 0, 1e9,
+    )
+    r2 = upd_cached(
+        state, mlp, jnp.asarray(pts_imu), mask, rot0, pos0, rest0, P,
+        td, 0, 1e9,
+    )
+    # both must converge to the same pose (the candidate cache holds the
+    # true kNN for sub-voxel pose increments)
+    np.testing.assert_allclose(
+        np.asarray(r1[1]), np.asarray(r2[1]), atol=2e-3
+    )  # position
+    np.testing.assert_allclose(
+        np.asarray(r1[0]), np.asarray(r2[0]), atol=2e-3
+    )  # rotation
+    assert bool(r2[4])
+
+
+def test_streaming_slam_tracks(seq):
+    cfg = tiny_config()
+    sysm = StreamingSlam(cfg, total_frames=16)
+    w = 2 * np.pi / 20.0
+    sysm.seed_pose(
+        seq.poses[0][:3, :3],
+        seq.poses[0][:3, 3],
+        vel=seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0]),
+    )
+    for i in range(len(seq.scans)):
+        sysm.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    out = sysm.sync()
+    assert not out["failed"]
+    est = out["odom_poses"]
+    m = metrics.absolute_error(est, seq.poses, align=False)
+    assert m["ate_rmse_m"] < 0.2, m
+    assert m["are_rmse_deg"] < 3.0, m
+    assert out["neural_points"] > 500
+
+
+def test_streaming_matches_classic(seq):
+    """Same sequence through both drivers: trajectories should agree to
+    within the (chaotic) online-training noise floor."""
+    from clid_slam_tpu.pipeline.slam import SlamSystem
+
+    cfg = tiny_config()
+    classic = SlamSystem(cfg, total_frames=16)
+    w = 2 * np.pi / 20.0
+    classic.tracker.x.pos = seq.poses[0][:3, 3].copy()
+    classic.tracker.x.rot = seq.poses[0][:3, :3].copy()
+    classic.tracker.x.vel = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+    for i in range(len(seq.scans)):
+        classic.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    est_classic = classic.dataset.odom_poses[: len(seq.scans)]
+
+    cfg2 = tiny_config()
+    stream = StreamingSlam(cfg2, total_frames=16)
+    stream.seed_pose(
+        seq.poses[0][:3, :3],
+        seq.poses[0][:3, 3],
+        vel=seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0]),
+    )
+    for i in range(len(seq.scans)):
+        stream.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    est_stream = stream.sync()["odom_poses"]
+
+    d = np.linalg.norm(
+        est_classic[:, :3, 3] - est_stream[:, :3, 3], axis=-1
+    )
+    assert d.max() < 0.15, d
