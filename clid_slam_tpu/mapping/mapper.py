@@ -76,6 +76,7 @@ def make_mapping_fn(
     encode_vecs=None,
     weighted_first: bool = True,
     layer_norm: bool = False,
+    cached_query: bool = True,
     as_body: bool = False,
 ):
     """Build the jitted per-frame map optimization function
@@ -84,9 +85,60 @@ def make_mapping_fn(
     Color (intensity/RGB) regression trains a second feature slab + MLP
     sharing the geometric kNN (utils/mapper.py:686-689, 820-830); semantic
     classification trains a third MLP over the geometric features
-    (utils/mapper.py:682-685, 800-818)."""
+    (utils/mapper.py:682-685, 800-818).
+
+    ``cached_query=True`` (default) is the TPU-native fast path: ONE batch
+    is sampled per frame and its hash-probe + kNN selection + IDW geometry
+    are computed ONCE, then reused by every Adam iteration and by the
+    numerical-gradient taps. This is valid because neural-point POSITIONS
+    are immutable within a frame — only features train — so the candidate
+    set, the selected k-NN, and the interpolation weights are constants of
+    the frame. The reference re-probes every iteration
+    (utils/mapper.py:646-671) because CUDA gathers are cheap; on TPU the
+    XLA row-gather costs ~10 ns/row (measured, scripts/profile_gather.py),
+    making the per-iteration 81-cell re-probe ~85% of mapping time.
+    Deviations vs the reference, both bounded and tested:
+    - all ``iter_count`` Adam steps see the same frame batch (fresh batch
+      per frame, not per iteration);
+    - eikonal taps (±0.04 m) interpolate from the center sample's k-NN
+      instead of their own probe (tap offset << voxel size 0.4 m, so the
+      neighbor set is almost always identical);
+    - training certainty accumulates once, scaled by ``iter_count``
+      (identical steady state; certainty is not read inside the loop)."""
 
     bd = max(1, bs // gradient_decimation)
+    if cached_query:
+        return _make_cached_mapping_fn(
+            feature_dim=feature_dim,
+            knn_k=knn_k,
+            nb_offs=nb_offs,
+            resolution=resolution,
+            max_valid_dist2=max_valid_dist2,
+            sdf_scale=sdf_scale,
+            sigma=sigma,
+            bs=bs,
+            bs_new=bs_new,
+            bd=bd,
+            gradient_decimation=gradient_decimation,
+            num_grad_eps=num_grad_eps,
+            weight_e=weight_e,
+            loss_weight_on=loss_weight_on,
+            lr=lr,
+            adam_eps=adam_eps,
+            mlp_leaky=mlp_leaky,
+            mlp_bf16=mlp_bf16,
+            color_on=color_on,
+            sem_on=sem_on,
+            weight_i=weight_i,
+            weight_s=weight_s,
+            surface_sample_range_m=surface_sample_range_m,
+            freespace_label_on=freespace_label_on,
+            rotate_vecs=rotate_vecs,
+            encode_vecs=encode_vecs,
+            weighted_first=weighted_first,
+            layer_norm=layer_norm,
+            as_body=as_body,
+        )
 
     def query_sdf(map_state, feats, mlp, pts, travel_dist, cur_ts, window):
         st = map_state._replace(geo_feats=feats)
@@ -295,6 +347,349 @@ def make_mapping_fn(
     if as_body:
         return mapping
     return partial(jax.jit, donate_argnums=(0,))(mapping)
+
+
+def _quat_conj_rotate(q, v):
+    """Rotate v by the conjugate of quaternion q (wxyz), batched."""
+    qc = q * jnp.array([1.0, -1.0, -1.0, -1.0])
+    w, u = qc[..., :1], qc[..., 1:]
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def _idw(d2, valid, nn_count):
+    """Normalized inverse-distance² weights with the reference's
+    zero-neighbor epsilon handling (model/neural_points.py:688-706)."""
+    eps = 1e-15
+    w = 1.0 / (d2 + eps)
+    w = jnp.where(valid, w, 0.0)
+    w = jnp.where((nn_count == 0)[..., None], eps, w)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.where(valid, w, 0.0)
+
+
+def _make_cached_mapping_fn(
+    *,
+    feature_dim,
+    knn_k,
+    nb_offs,
+    resolution,
+    max_valid_dist2,
+    sdf_scale,
+    sigma,
+    bs,
+    bs_new,
+    bd,
+    gradient_decimation,
+    num_grad_eps,
+    weight_e,
+    loss_weight_on,
+    lr,
+    adam_eps,
+    mlp_leaky,
+    mlp_bf16,
+    color_on,
+    sem_on,
+    weight_i,
+    weight_s,
+    surface_sample_range_m,
+    freespace_label_on,
+    rotate_vecs,
+    encode_vecs,
+    weighted_first,
+    layer_norm,
+    as_body,
+):
+    """Candidate-cached mapping: see make_mapping_fn docstring."""
+
+    dec_step = gradient_decimation
+    R = 10  # resample cadence: fresh batch + probe every R Adam steps
+    # (== the reference's per-frame iteration count, so a steady-state
+    # frame still pays exactly ONE probe; long calls — frame-0 warm-up,
+    # offline refinement — keep full batch diversity)
+
+    def mapping(
+        map_state: nm.NeuralMapState,
+        mlp: dec.MLPParams,
+        color_mlp: dec.MLPParams,
+        sem_mlp: dec.MLPParams,
+        pool: ReplayPool,
+        travel_dist,
+        cur_ts,
+        window,
+        key,
+        iter_count,  # dynamic
+        mlp_lr_scale,
+    ):
+        cap = nm.map_capacity(map_state)
+        n_iters = jnp.asarray(iter_count, jnp.int32)
+        n_outer = (n_iters + R - 1) // R
+
+        def build_cache(kb):
+            """Sample one batch and freeze its query geometry."""
+            idx = sample_batch_indices(pool, kb, bs, bs_new)
+            bvalid = (idx < pool.size).astype(jnp.float32)
+            coord = pool.coords[idx]  # [bs,3]
+            label = pool.sdf[idx]
+            weight = pool.weight[idx]
+            ts = pool.ts[idx]
+            color_lbl = pool.color[idx]
+            sem_lbl = pool.sem[idx]
+
+            d2, h, pvalid, mir = nm.neighborhood_probe(
+                map_state, coord, nb_offs, resolution, max_valid_dist2,
+                travel_dist, cur_ts, window, True,
+            )
+            nn_count = jnp.sum(pvalid.astype(jnp.int32), axis=-1)
+            d2s = jnp.where(pvalid, d2, 9e3)
+            neg, sel = jax.lax.top_k(-d2s, knn_k)
+            knn_d2 = -neg  # [bs,k]
+            h_sel = jnp.take_along_axis(h, sel, axis=1)
+            valid = jnp.take_along_axis(pvalid, sel, axis=1)
+            dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
+                jnp.tri(knn_k, knn_k, -1, dtype=bool)[None]
+            )
+            valid = valid & ~jnp.any(dup, axis=-1)
+            idx_sel = map_state.hash_table[h_sel]
+            valid = valid & (idx_sel >= 0)
+            knn_idx = jnp.where(valid, idx_sel, -1)
+            safe = jnp.where(valid, idx_sel, cap)  # [bs,k]
+            nb_pos = jnp.take_along_axis(
+                mir, sel[..., None], axis=1
+            )[..., :3]
+
+            vec0 = coord[:, None, :] - nb_pos  # [bs,k,3]
+            if rotate_vecs:
+                quat_sel = map_state.quats[safe]
+                vec0_r = _quat_conj_rotate(quat_sel, vec0)
+            else:
+                vec0_r = vec0
+            w0 = _idw(knn_d2, valid, nn_count)  # [bs,k]
+            enc0 = (
+                encode_vecs(vec0_r) if encode_vecs is not None else vec0_r
+            )
+            enc0 = jnp.where(valid[..., None], enc0, 0.0)
+
+            # tap geometry (±eps per axis on decimated rows), reusing the
+            # center's k-NN; validity re-gated by the distance cap
+            vd = bvalid[::dec_step][:bd]
+            vec_d = vec0[::dec_step][:bd]  # [bd,k,3] world-frame offsets
+            valid_d = valid[::dec_step][:bd]
+            eps3 = jnp.eye(3, dtype=jnp.float32) * num_grad_eps
+            tap_off = jnp.concatenate([eps3, -eps3], axis=0)  # [6,3]
+            tap_vec = vec_d[None] + tap_off[:, None, None, :]  # [6,bd,k,3]
+            tap_d2 = jnp.sum(tap_vec * tap_vec, axis=-1)
+            tap_valid = valid_d[None] & (tap_d2 <= max_valid_dist2)
+            tap_nc = jnp.sum(tap_valid.astype(jnp.int32), axis=-1)
+            w_tap = _idw(tap_d2, tap_valid, tap_nc)  # [6,bd,k]
+            if rotate_vecs:
+                quat_d = map_state.quats[safe][::dec_step][:bd]
+                tap_vec_r = _quat_conj_rotate(quat_d[None], tap_vec)
+            else:
+                tap_vec_r = tap_vec
+            enc_tap = (
+                encode_vecs(tap_vec_r)
+                if encode_vecs is not None
+                else tap_vec_r
+            )
+            enc_tap = jnp.where(tap_valid[..., None], enc_tap, 0.0)
+            return dict(
+                bvalid=bvalid, label=label, weight=weight, ts=ts,
+                color_lbl=color_lbl, sem_lbl=sem_lbl, valid=valid,
+                knn_idx=knn_idx, safe=safe, w0=w0, enc0=enc0, vd=vd,
+                w_tap=w_tap, enc_tap=enc_tap,
+            )
+
+        def make_loss_fn(c):
+            w_abs = jnp.abs(c["weight"]) * c["bvalid"]
+            label_op = jax.nn.sigmoid(c["label"] / sigma)
+            surface_mask = (
+                jnp.abs(c["label"]) < surface_sample_range_m
+            ) * c["bvalid"]
+
+            def gather_feats(feats_slab):
+                f = feats_slab[c["safe"]]  # [bs,k,F] per-iteration gather
+                if layer_norm:
+                    mu = jnp.mean(f, axis=-1, keepdims=True)
+                    var = jnp.var(f, axis=-1, keepdims=True)
+                    f = (f - mu) * jax.lax.rsqrt(var + 1e-5)
+                return jnp.where(c["valid"][..., None], f, 0.0)
+
+            def decode_weighted(mlp_, feats, enc, w, head=dec.sdf, **kw):
+                fv = jnp.concatenate([feats, enc], axis=-1)
+                if weighted_first:
+                    feat = jnp.sum(fv * w[..., None], axis=-2)
+                    return head(mlp_, feat, **kw)
+                pred_k = head(mlp_, fv, **kw)
+                if pred_k.ndim == w.ndim:  # scalar head
+                    return jnp.sum(pred_k * w, axis=-1)
+                return jnp.sum(pred_k * w[..., None], axis=-2)
+
+            def loss_fn(params):
+                feats_slab, mlp_, cfeats_slab, color_mlp_, sem_mlp_ = params
+                feats = gather_feats(feats_slab)
+                pred = decode_weighted(
+                    mlp_, feats, c["enc0"], c["w0"], head=dec.sdf,
+                    sdf_scale=sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16,
+                )
+                bce = optax.sigmoid_binary_cross_entropy(
+                    pred / sigma, label_op
+                )
+                if loss_weight_on:
+                    sdf_loss = jnp.sum(w_abs * bce) / bs
+                else:
+                    sdf_loss = jnp.sum(bce * c["bvalid"]) / jnp.clip(
+                        jnp.sum(c["bvalid"]), 1.0
+                    )
+
+                extra = 0.0
+                if color_on:
+                    cf = cfeats_slab[c["safe"]]
+                    cf = jnp.where(c["valid"][..., None], cf, 0.0)
+                    cpred = decode_weighted(
+                        color_mlp_, cf, c["enc0"], c["w0"],
+                        head=_color_head, leaky=mlp_leaky, bf16=mlp_bf16,
+                    )
+                    cdiff = jnp.abs(cpred - c["color_lbl"]).mean(-1)
+                    cw = w_abs if loss_weight_on else c["bvalid"]
+                    color_loss = jnp.sum(
+                        cdiff * surface_mask * cw
+                    ) / jnp.clip(jnp.sum(surface_mask * cw), 1.0)
+                    extra = extra + weight_i * color_loss
+                if sem_on:
+                    logp = decode_weighted(
+                        sem_mlp_, feats, c["enc0"], c["w0"],
+                        head=dec.sem_label_prob, leaky=mlp_leaky,
+                        bf16=mlp_bf16,
+                    )  # [bs,S]
+                    lbl_ok = (
+                        (c["sem_lbl"] >= 0)
+                        if freespace_label_on
+                        else (c["sem_lbl"] > 0)
+                    )
+                    lm_ = lbl_ok.astype(jnp.float32) * c["bvalid"]
+                    safe_lbl = jnp.clip(c["sem_lbl"], 0)
+                    nll = -jnp.take_along_axis(
+                        logp, safe_lbl[:, None], axis=1
+                    )[:, 0]
+                    sem_loss = jnp.sum(nll * lm_) / jnp.clip(
+                        jnp.sum(lm_), 1.0
+                    )
+                    extra = extra + weight_s * sem_loss
+
+                # eikonal via the 6 cached taps (gather-free: reuses feats)
+                feats_d = feats[::dec_step][:bd]  # [bd,k,F]
+                tap_pred = decode_weighted(
+                    mlp_,
+                    jnp.broadcast_to(feats_d[None], (6,) + feats_d.shape),
+                    c["enc_tap"], c["w_tap"], head=dec.sdf,
+                    sdf_scale=sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16,
+                )  # [6,bd]
+                g = jnp.stack(
+                    [
+                        (tap_pred[0] - tap_pred[3]) / (2 * num_grad_eps),
+                        (tap_pred[1] - tap_pred[4]) / (2 * num_grad_eps),
+                        (tap_pred[2] - tap_pred[5]) / (2 * num_grad_eps),
+                    ],
+                    axis=-1,
+                )
+                gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-20)
+                eik = jnp.sum(((gn - 1.0) ** 2) * c["vd"]) / jnp.clip(
+                    jnp.sum(c["vd"]), 1.0
+                )
+                loss = sdf_loss + weight_e * eik + extra
+                return loss, (
+                    jax.lax.stop_gradient(sdf_loss),
+                    jax.lax.stop_gradient(eik),
+                )
+
+            return loss_fn
+
+        params0 = (
+            map_state.geo_feats,
+            mlp,
+            map_state.color_feats,
+            color_mlp,
+            sem_mlp,
+        )
+        zeros_like = lambda tr: jax.tree.map(jnp.zeros_like, tr)
+        carry0 = (
+            params0,
+            AdamState(zeros_like(params0), zeros_like(params0)),
+            map_state.certainty,
+            map_state.ts_update,
+            key,
+            jnp.zeros((2,), jnp.float32),
+        )
+
+        def outer_body(o, carry):
+            params, adam, certainty, ts_upd, k, _ = carry
+            k, kb = jax.random.split(k)
+            c = build_cache(kb)
+            grad_fn = jax.grad(make_loss_fn(c), has_aux=True)
+            inner_n = jnp.minimum(R, n_iters - o * R)
+
+            def inner(i, c2):
+                params, adam, _ = c2
+                grads, (sdf_l, eik_l) = grad_fn(params)
+                t = (o * R + i + 1).astype(jnp.float32)
+                lrs = (
+                    lr, lr * mlp_lr_scale, lr, lr * mlp_lr_scale,
+                    lr * mlp_lr_scale,
+                )
+                new_params, new_m, new_v = [], [], []
+                for p_, g_, m_, v_, lr_ in zip(
+                    params, grads, adam.m, adam.v, lrs
+                ):
+                    upd, st_a = _adam_update(
+                        g_, AdamState(m_, v_), t, lr_, adam_eps
+                    )
+                    new_params.append(jax.tree.map(jnp.add, p_, upd))
+                    new_m.append(st_a.m)
+                    new_v.append(st_a.v)
+                return (
+                    tuple(new_params),
+                    AdamState(tuple(new_m), tuple(new_v)),
+                    jnp.stack([sdf_l, eik_l]),
+                )
+
+            params, adam, losses = jax.lax.fori_loop(
+                0, inner_n, inner, (params, adam, jnp.zeros((2,)))
+            )
+
+            # certainty + update-ts once per batch, scaled by its step
+            # count (the reference scatters per query_feature call; same
+            # batch × N steps == one scatter of N·w —
+            # model/neural_points.py:708-737)
+            itf = jnp.maximum(inner_n.astype(jnp.float32), 0.0)
+            st = nm.accumulate_certainty(
+                map_state._replace(certainty=certainty, ts_update=ts_upd),
+                c["knn_idx"], c["w0"] * itf, c["ts"],
+            )
+            tap_idx_d = c["knn_idx"][::dec_step][:bd]
+            tap_w_sum = jnp.sum(c["w_tap"], axis=0) * itf  # [bd,k]
+            st = nm.accumulate_certainty(st, tap_idx_d, tap_w_sum, None)
+            return (params, adam, st.certainty, st.ts_update, k, losses)
+
+        params, _, certainty, ts_upd, _, losses = jax.lax.fori_loop(
+            0, n_outer, outer_body, carry0
+        )
+        feats, mlp_out, cfeats, color_mlp_out, sem_mlp_out = params
+        new_state = map_state._replace(
+            geo_feats=feats,
+            color_feats=cfeats,
+            certainty=certainty,
+            ts_update=ts_upd,
+        )
+        return new_state, mlp_out, color_mlp_out, sem_mlp_out, losses
+
+    if as_body:
+        return mapping
+    return partial(jax.jit, donate_argnums=(0,))(mapping)
+
+
+def _color_head(params, feature, **kw):
+    return dec.regress_color(params, feature, **kw)
 
 
 def make_novelty_fn(

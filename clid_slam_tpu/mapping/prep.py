@@ -81,10 +81,12 @@ def make_prep_fn(
 
         if not pin_mode:
             # PIN mode skips the raw-point local map entirely
-            # (utils/mapper.py:179-184 gated on use_pin_mapper)
+            # (utils/mapper.py:179-184 gated on use_pin_mapper).
+            # The O(capacity) crop+rehash runs on the pool-filter cadence;
+            # other frames append-only (see models/local_map.py).
             local_map = lm.update_local_map(
                 local_map, origin, world_pts, mask, local_resolution,
-                local_map_size,
+                local_map_size, crop_now=filter_pool_now,
             )
 
         batch = sample_rays(

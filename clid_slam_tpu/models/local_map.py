@@ -51,7 +51,7 @@ def init_local_map(capacity: int, hash_size: int) -> LocalMapState:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("crop_now",))
 def update_local_map(
     state: LocalMapState,
     sensor_position: jnp.ndarray,  # [3]
@@ -59,18 +59,28 @@ def update_local_map(
     mask: jnp.ndarray,  # [M]
     resolution,
     map_size,
+    crop_now: bool = True,
 ) -> LocalMapState:
     """Insert new surface points (only into empty voxels, matching
     model/local_point_cloud_map.py:40-56), then radius-crop to ``map_size``
-    around the sensor and rebuild the hash (:58-72)."""
+    around the sensor and rebuild the hash (:58-72).
+
+    ``crop_now=False`` skips the O(capacity) compaction + full rehash and
+    only appends (points beyond ``map_size`` are still rejected at insert).
+    The reference crops every update; cropping on a 10-frame cadence is
+    equivalent for queries — stale far points are real surface points that
+    no within-range query reaches — and only bounds memory more lazily.
+    On TPU the full rebuild is the dominant prep cost (O(capacity) scatter
+    per frame), so the steady-state path appends and crops lazily."""
     cap = state.positions.shape[0] - 1
     hsize = state.hash_table.shape[0]
 
     mask = voxel_down_sample_mask(points, mask, resolution, hsize)
+    d_in = jnp.linalg.norm(points - sensor_position, axis=-1)
     g = grid_coords(points, resolution)
     h = voxel_hash(g, hsize)
     empty = state.hash_table[h] == -1
-    insert = mask & empty
+    insert = mask & empty & (d_in < map_size)
 
     offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
     new_idx = state.count + offs
@@ -79,6 +89,13 @@ def update_local_map(
     positions = state.positions.at[slot].set(points)
     positions = positions.at[cap].set(0.0)
     count = jnp.minimum(state.count + jnp.sum(insert.astype(jnp.int32)), cap)
+
+    if not crop_now:
+        # append-only: scatter just the new rows into the hash table
+        hash_table = state.hash_table.at[
+            jnp.where(insert, h, hsize)
+        ].set(new_idx.astype(jnp.int32), mode="drop")
+        return LocalMapState(positions, count, hash_table)
 
     # radius crop + compaction + rehash (one O(C) pass)
     live = jnp.arange(cap + 1) < count
