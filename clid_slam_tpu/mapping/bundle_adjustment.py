@@ -71,15 +71,21 @@ def make_ba_fn(
             idx = jax.random.randint(
                 key_b, (ba_bs,), 0, jnp.maximum(pool.size, 1)
             )
-            local = pool.coords_local[idx]
+            world = pool.coords[idx]
             ts = pool.ts[idx]
             lbl = pool.sdf[idx]
             # surface endpoints within the window only
             w_idx = jnp.clip(ts - window_ts0, 0, window_size - 1)
-            in_window = (ts >= window_ts0) & (idx < pool.size)
+            in_window = (ts >= window_ts0) & (idx < pool.size) & pool.valid[idx]
             is_surface = lbl == 0.0
             sel = (in_window & is_surface).astype(jnp.float32)
 
+            # sensor-frame coords recomputed as T0⁻¹·world (the pool no
+            # longer stores them; T0 = the pose the sample was built with)
+            T0 = poses0[w_idx]  # [B,4,4]
+            local = jnp.einsum(
+                "bji,bj->bi", T0[:, :3, :3], world - T0[:, :3, 3]
+            )
             T = poses[w_idx]  # [B,4,4]
             pts = (
                 jnp.einsum("bij,bj->bi", T[:, :3, :3], local) + T[:, :3, 3]

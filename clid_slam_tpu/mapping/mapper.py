@@ -173,7 +173,8 @@ def make_mapping_fn(
         label_op = jax.nn.sigmoid(label / sigma)
         bce = optax.sigmoid_binary_cross_entropy(pred / sigma, label_op)
         if loss_weight_on:
-            sdf_loss = jnp.sum(w_abs * bce) / bs  # torch weighted-mean semantics
+            # weighted mean over live rows (see cached path note)
+            sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(jnp.sum(bvalid), 1.0)
         else:
             sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(jnp.sum(bvalid), 1.0)
 
@@ -283,7 +284,7 @@ def make_mapping_fn(
             params, adam, certainty, ts_upd, k, _ = carry
             k, kb = jax.random.split(k)
             idx = sample_batch_indices(pool, kb, bs, bs_new)
-            bvalid = (idx < pool.size).astype(jnp.float32)
+            bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
             coord = pool.coords[idx]
             label = pool.sdf[idx]
             weight = pool.weight[idx]
@@ -428,7 +429,7 @@ def _make_cached_mapping_fn(
         def build_cache(kb):
             """Sample one batch and freeze its query geometry."""
             idx = sample_batch_indices(pool, kb, bs, bs_new)
-            bvalid = (idx < pool.size).astype(jnp.float32)
+            bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
             coord = pool.coords[idx]  # [bs,3]
             label = pool.sdf[idx]
             weight = pool.weight[idx]
@@ -536,7 +537,13 @@ def _make_cached_mapping_fn(
                     pred / sigma, label_op
                 )
                 if loss_weight_on:
-                    sdf_loss = jnp.sum(w_abs * bce) / bs
+                    # weighted mean over LIVE rows (the reference divides
+                    # by bs with all-valid batches, utils/mapper.py:760;
+                    # the stripe pool leaves dead padding rows in batches,
+                    # so /bs would silently deflate the loss scale)
+                    sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(
+                        jnp.sum(c["bvalid"]), 1.0
+                    )
                 else:
                     sdf_loss = jnp.sum(bce * c["bvalid"]) / jnp.clip(
                         jnp.sum(c["bvalid"]), 1.0

@@ -6,12 +6,24 @@ capacity cap, and batch sampling that mixes "new-region" samples with
 history replay.
 
 TPU-native differences:
-- fixed arrays [P] with a contiguous live prefix [0, size); compaction is a
-  jitted O(P) cumsum scatter (the reference re-allocates with boolean
-  indexing every frame, utils/mapper.py:361-367);
+- fixed arrays [P] with a live prefix [0, size) and a per-row ``valid``
+  mask; the sliding-window filter only REWRITES THE MASK (one vectorized
+  pass) instead of compacting — an O(P) row-scatter compaction costs
+  ~200 ms on TPU (XLA scatter ≈ 15-50 ns/element,
+  scripts/profile_gather.py) while the mask pass is bandwidth-bound
+  (~0.3 ms). Out-of-window rows linger as dead slots until eviction
+  recycles them; batch sampling gates on the mask (the reference
+  re-allocates with boolean indexing every frame, utils/mapper.py:361-367
+  — same training distribution, different storage discipline);
 - when an append would overflow, the overflowing new samples overwrite
   *uniform-random old* slots (the reference discards random old samples to
-  make room, utils/mapper.py:350-358 — same steady-state distribution);
+  make room, utils/mapper.py:350-358 — same steady-state distribution).
+  Cheaper block/stripe eviction schemes were tried and measurably degrade
+  trajectory accuracy (30-frame synthetic ATE 0.23 -> 0.55 m): replay
+  retention must stay row-uniform;
+- sensor-frame sample coords are NOT stored (the reference keeps them for
+  BA re-transforms): they are recomputed exactly as inv(T_old[ts])·coords
+  when poses change, saving a [P,3] slab and a ~21 ms/frame scatter;
 - "new-region" sample indices live in a fixed side buffer (new_buf,
   new_count) rebuilt each frame, mirroring utils/mapper.py:429-441.
 """
@@ -27,13 +39,13 @@ import jax.numpy as jnp
 
 class ReplayPool(NamedTuple):
     coords: jnp.ndarray  # [P,3] world-frame sample coords
-    coords_local: jnp.ndarray  # [P,3] sensor-frame coords (for BA re-transform)
     sdf: jnp.ndarray  # [P]
     weight: jnp.ndarray  # [P]
     ts: jnp.ndarray  # [P] i32 frame id
     color: jnp.ndarray  # [P,C] f32 (C=1 dummy when color mapping off)
     sem: jnp.ndarray  # [P] i32 semantic label (-1 = unlabeled)
-    size: jnp.ndarray  # scalar i32, live prefix length
+    valid: jnp.ndarray  # [P] bool — live AND inside the sliding window
+    size: jnp.ndarray  # scalar i32, high-water prefix length
     new_buf: jnp.ndarray  # [B] i32 indices of new-region samples
     new_count: jnp.ndarray  # scalar i32
 
@@ -43,12 +55,12 @@ def init_pool(
 ) -> ReplayPool:
     return ReplayPool(
         coords=jnp.zeros((capacity, 3), jnp.float32),
-        coords_local=jnp.zeros((capacity, 3), jnp.float32),
         sdf=jnp.zeros((capacity,), jnp.float32),
         weight=jnp.zeros((capacity,), jnp.float32),
         ts=jnp.zeros((capacity,), jnp.int32),
         color=jnp.zeros((capacity, color_channels), jnp.float32),
         sem=jnp.full((capacity,), -1, jnp.int32),
+        valid=jnp.zeros((capacity,), bool),
         size=jnp.zeros((), jnp.int32),
         new_buf=jnp.zeros((new_buf_size,), jnp.int32),
         new_count=jnp.zeros((), jnp.int32),
@@ -59,30 +71,14 @@ def init_pool(
 def filter_pool(
     pool: ReplayPool, origin: jnp.ndarray, window_radius
 ) -> ReplayPool:
-    """Drop samples outside the sliding window and compact
-    (utils/mapper.py:338-367). Invalidates new_buf (callers re-append and
-    re-compute novelty afterwards, as process_frame does)."""
-    p = pool.coords.shape[0]
-    live = jnp.arange(p) < pool.size
+    """Drop samples outside the sliding window (utils/mapper.py:338-367) —
+    mask-only: no compaction (see module docstring). Invalidates new_buf
+    (callers re-append and re-compute novelty afterwards, as process_frame
+    does)."""
     d2 = jnp.sum((pool.coords - origin) ** 2, axis=-1)
-    keep = live & (d2 < window_radius * window_radius)
-    new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep, new_idx, p)  # losers dropped by the scatter
-
-    def compact(arr):
-        out = jnp.zeros_like(arr)
-        return out.at[slot].set(arr, mode="drop")
-
-    n = jnp.sum(keep.astype(jnp.int32))
-    return ReplayPool(
-        coords=compact(pool.coords),
-        coords_local=compact(pool.coords_local),
-        sdf=compact(pool.sdf),
-        weight=compact(pool.weight),
-        ts=compact(pool.ts),
-        color=compact(pool.color),
-        sem=compact(pool.sem),
-        size=n,
+    keep = pool.valid & (d2 < window_radius * window_radius)
+    return pool._replace(
+        valid=keep,
         new_buf=jnp.zeros_like(pool.new_buf),
         new_count=jnp.zeros_like(pool.new_count),
     )
@@ -99,18 +95,16 @@ def append_samples(
     is_new: jnp.ndarray,  # [M] bool novelty flags (certainty+label gated)
     color=None,  # [M,C] or None
     sem=None,  # [M] i32 or None
-    coords_local=None,  # [M,3] sensor-frame coords
     key=None,  # PRNG key for overflow replacement slots
 ) -> ReplayPool:
+    """Append one frame's (masked) samples; when full, overflowing samples
+    evict uniform-random old slots. Collisions between two evictors lose
+    one sample — same as the reference's random discard."""
     p = pool.coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dst = pool.size + offs
     write = mask & (dst < p)
     if key is not None:
-        # full pool: overflowing samples evict uniform-random old slots
-        # (utils/mapper.py:350-358 discards random old samples to make
-        # room); collisions between two evictors lose one sample — same
-        # as the reference's random discard
         overflow = mask & (dst >= p)
         rand_old = jax.random.randint(
             key, mask.shape, 0, jnp.maximum(pool.size, 1)
@@ -121,11 +115,6 @@ def append_samples(
     slot = jnp.where(write, dst, p)
 
     coords_arr = pool.coords.at[slot].set(coords, mode="drop")
-    coords_local_arr = (
-        pool.coords_local.at[slot].set(coords_local, mode="drop")
-        if coords_local is not None
-        else pool.coords_local
-    )
     sdf_arr = pool.sdf.at[slot].set(sdf, mode="drop")
     weight_arr = pool.weight.at[slot].set(weight, mode="drop")
     ts_arr = pool.ts.at[slot].set(jnp.asarray(frame_id, jnp.int32), mode="drop")
@@ -139,6 +128,7 @@ def append_samples(
         if sem is not None
         else pool.sem
     )
+    valid_arr = pool.valid.at[slot].set(True, mode="drop")
     # overflow evictions reuse live slots and do not grow the pool
     n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))
 
@@ -153,16 +143,37 @@ def append_samples(
 
     return ReplayPool(
         coords=coords_arr,
-        coords_local=coords_local_arr,
         sdf=sdf_arr,
         weight=weight_arr,
         ts=ts_arr,
         color=color_arr,
         sem=sem_arr,
+        valid=valid_arr,
         size=jnp.minimum(pool.size + n_added, p),
         new_buf=new_buf,
         new_count=new_count,
     )
+
+
+def retransform_coords(
+    pool: ReplayPool, old_poses: jnp.ndarray, new_poses: jnp.ndarray
+) -> ReplayPool:
+    """Re-express stored world coords after a pose correction (BA / PGO):
+    coords' = T_new[ts] · T_old[ts]⁻¹ · coords. Replaces the reference's
+    stored sensor-frame coords (utils/mapper.py:323-327 re-transforms from
+    origin coords; algebraically identical)."""
+    R_o = old_poses[:, :3, :3]
+    t_o = old_poses[:, :3, 3]
+    R_n = new_poses[:, :3, :3]
+    t_n = new_poses[:, :3, 3]
+    # diff = T_new @ inv(T_old):  R_d = R_n R_oᵀ,  t_d = t_n - R_d t_o
+    R_d = jnp.einsum("tij,tkj->tik", R_n, R_o)
+    t_d = t_n - jnp.einsum("tij,tj->ti", R_d, t_o)
+    ts = jnp.clip(pool.ts, 0, old_poses.shape[0] - 1)
+    R = R_d[ts]
+    t = t_d[ts]
+    coords = jnp.einsum("bij,bj->bi", R, pool.coords) + t
+    return pool._replace(coords=coords)
 
 
 def sample_batch_indices(

@@ -156,7 +156,6 @@ def make_prep_fn(
             is_new,
             color=batch.color if colors is not None else None,
             sem=batch.sem if sem_labels is not None else None,
-            coords_local=batch.coords,
             key=overflow_key,
         )
         return PrepResult(

@@ -37,10 +37,21 @@ def local_max_valid_range(resolution: float) -> float:
     return 1.732 * 2.0 * resolution
 
 
+_EMPTY_POS = 1e9  # mirror sentinel: empty buckets sit "infinitely far away"
+
+
 class LocalMapState(NamedTuple):
+    """``hash_mirror`` is the query accelerator (same trick as
+    models/neural_map.py): a [H,4] float32 companion of the hash table
+    holding each bucket occupant's (x, y, z, pad), so the 7-cell label
+    probe is ONE row-gather — XLA's TPU gather costs ~10 ns per row
+    regardless of width, so one 16-byte AoS row beats the idx + positions
+    gather pair 2:1 (scripts/profile_gather.py)."""
+
     positions: jnp.ndarray  # [C+1, 3] f32, sentinel last row
     count: jnp.ndarray  # scalar i32
     hash_table: jnp.ndarray  # [H] i32, -1 empty
+    hash_mirror: jnp.ndarray  # [H, 4] f32 (x, y, z, pad)
 
 
 def init_local_map(capacity: int, hash_size: int) -> LocalMapState:
@@ -48,6 +59,7 @@ def init_local_map(capacity: int, hash_size: int) -> LocalMapState:
         positions=jnp.zeros((capacity + 1, 3), jnp.float32),
         count=jnp.zeros((), jnp.int32),
         hash_table=jnp.full((hash_size,), -1, jnp.int32),
+        hash_mirror=jnp.full((hash_size, 4), _EMPTY_POS, jnp.float32),
     )
 
 
@@ -91,11 +103,18 @@ def update_local_map(
     count = jnp.minimum(state.count + jnp.sum(insert.astype(jnp.int32)), cap)
 
     if not crop_now:
-        # append-only: scatter just the new rows into the hash table
-        hash_table = state.hash_table.at[
-            jnp.where(insert, h, hsize)
-        ].set(new_idx.astype(jnp.int32), mode="drop")
-        return LocalMapState(positions, count, hash_table)
+        # append-only: scatter just the new rows into table + mirror
+        hash_slot = jnp.where(insert, h, hsize)
+        hash_table = state.hash_table.at[hash_slot].set(
+            new_idx.astype(jnp.int32), mode="drop"
+        )
+        mir_rows = jnp.concatenate(
+            [points, jnp.zeros((points.shape[0], 1), jnp.float32)], axis=1
+        )
+        hash_mirror = state.hash_mirror.at[hash_slot].set(
+            mir_rows, mode="drop"
+        )
+        return LocalMapState(positions, count, hash_table, hash_mirror)
 
     # radius crop + compaction + rehash (one O(C) pass)
     live = jnp.arange(cap + 1) < count
@@ -111,11 +130,19 @@ def update_local_map(
     g2 = grid_coords(compacted, resolution)
     h2 = voxel_hash(g2, hsize)
     live2 = jnp.arange(cap + 1) < new_count
+    slot2h = jnp.where(live2, h2, hsize)
     hash_table = jnp.full((hsize,), -1, jnp.int32)
-    hash_table = hash_table.at[jnp.where(live2, h2, hsize)].set(
+    hash_table = hash_table.at[slot2h].set(
         jnp.arange(cap + 1, dtype=jnp.int32), mode="drop"
     )
-    return LocalMapState(compacted, new_count, hash_table)
+    hash_mirror = jnp.full((hsize, 4), _EMPTY_POS, jnp.float32)
+    hash_mirror = hash_mirror.at[slot2h].set(
+        jnp.concatenate(
+            [compacted, jnp.zeros((cap + 1, 1), jnp.float32)], axis=1
+        ),
+        mode="drop",
+    )
+    return LocalMapState(compacted, new_count, hash_table, hash_mirror)
 
 
 def region_specific_sdf(
@@ -133,29 +160,35 @@ def region_specific_sdf(
     (sdf_abs [N], surface_mask [N]) where surface_mask = "has at least one
     neighbor in range".
     """
-    cap = state.positions.shape[0] - 1
     hsize = state.hash_table.shape[0]
     maxr = local_max_valid_range(resolution)
 
     g = grid_coords(points, resolution)
     cells = g[:, None, :] + LOCAL_NB_OFFSETS[None, :, :]
     h = voxel_hash(cells, hsize)
-    idx = state.hash_table[h]  # [N,7]
-    safe = jnp.where(idx >= 0, idx, cap)
-    nb = state.positions[safe]  # [N,7,3]
+    mir = state.hash_mirror[h]  # [N,7,4] — the ONE probe gather
+    nb = mir[..., :3]
     dist = jnp.linalg.norm(nb - points[:, None, :], axis=-1)
-    dist = jnp.where(idx >= 0, dist, maxr)
+    # empties carry the far sentinel; any REAL occupant of a probed cell is
+    # within ~2.45·res < maxr, so clipping at maxr exactly reproduces the
+    # old idx-gated distances
+    dist = jnp.minimum(dist, maxr)
 
-    # 4 nearest (with duplicate-bucket suppression as in neural_map)
+    # 4 nearest (duplicate-bucket suppression by bucket id, as neural_map)
     neg, sel = jax.lax.top_k(-dist, 4)
     knn_dist = -neg  # [N,4] ascending
-    knn_idx = jnp.take_along_axis(idx, sel, axis=1)
-    dup = (knn_idx[:, :, None] == knn_idx[:, None, :]) & (
+    h_sel = jnp.take_along_axis(h, sel, axis=1)
+    dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
         jnp.tri(4, 4, -1, dtype=bool)[None]
     )
-    dup_any = jnp.any(dup, axis=-1) & (knn_idx >= 0)
+    dup_any = jnp.any(dup, axis=-1) & (knn_dist < maxr)
     knn_dist = jnp.where(dup_any, maxr, knn_dist)
     knn_pts = jnp.take_along_axis(nb, sel[..., None], axis=1)  # [N,4,3]
+    # far-sentinel rows would overflow the plane-fit covariance (1e18);
+    # replace them with the query point — such rows are masked by
+    # valid_fit below, this only keeps the masked lanes finite
+    knn_valid = knn_dist < maxr
+    knn_pts = jnp.where(knn_valid[..., None], knn_pts, points[:, None, :])
 
     valid_fit = knn_dist[:, 3] < maxr  # all four neighbors real
     normal, constant, fit_success = fit_plane_knn(

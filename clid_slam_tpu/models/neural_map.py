@@ -98,6 +98,9 @@ def map_capacity(state: NeuralMapState) -> int:
 # ------------------------------------------------------------------ insert
 
 
+_OOB = jnp.int32(2_000_000_000)  # out-of-bounds scatter target ("drop")
+
+
 @partial(jax.jit, static_argnames=("downsample",), donate_argnums=(0,))
 def insert_points(
     state: NeuralMapState,
@@ -114,70 +117,86 @@ def insert_points(
     A candidate point claims a slot when its voxel bucket is empty, the
     occupant is far away (hash collision, dist² > 3·res²), or the occupant is
     stale by travel distance. Returns (new_state, new_point_ratio).
-    """
+
+    TPU cost discipline (measured, scripts/profile_gather.py): XLA scatter
+    costs ~15-50 ns per element into multi-MB tables, so the M-candidate
+    scatters (M up to 262k samples/frame) dominated prep. Instead the ≤W
+    winners are COMPACTED into a small staging buffer first and only W rows
+    touch the slabs. Per-point attribute scatters (quats/features/certainty)
+    are gone entirely via the slab invariant: rows at index ≥ count always
+    hold (identity quat, zero features, zero certainty) — guaranteed by
+    init_map and restored by prune_and_rehash's compaction fill."""
     cap = map_capacity(state)
     hsize = state.hash_table.shape[0]
+    m = points.shape[0]
+    w = min(32768, m)  # per-frame insertion budget (winners are voxel-
+    # downsampled: one per 0.4-ish m voxel, so 32k covers a full scan)
 
     if downsample:
         mask = voxel_down_sample_mask(points, mask, resolution, hsize)
 
     g = grid_coords(points, resolution)
     h = voxel_hash(g, hsize)
+    mir = state.hash_mirror[h]  # [M,4] — occupant position from the mirror
+    occupied = mir[..., 0] < _EMPTY_POS * 0.5
+    dist2 = jnp.sum((mir[..., :3] - points) ** 2, axis=-1)
+    collision = occupied & (dist2 > 3.0 * resolution * resolution)
     cur_idx = state.hash_table[h]
-    occupied = cur_idx >= 0
-    safe_idx = jnp.where(occupied, cur_idx, cap)
-    occ_pos = state.positions[safe_idx]
-    dist2 = jnp.sum((occ_pos - points) ** 2, axis=-1)
-    collision = dist2 > 3.0 * resolution * resolution
+    safe_idx = jnp.where(cur_idx >= 0, cur_idx, cap)
     delta_td = travel_dist[cur_ts] - travel_dist[state.ts_update[safe_idx]]
     stale = delta_td > diff_travel_dist_local
 
     is_first = state.count == 0
     update = mask & (~occupied | collision | stale | is_first)
 
-    # allocate contiguous slots for the winners
+    # compact the winners into the [w] staging buffer
     offs = jnp.cumsum(update.astype(jnp.int32)) - 1
-    new_idx = state.count + offs
-    update = update & (new_idx < cap)
-    slot = jnp.where(update, new_idx, cap)  # losers write the sentinel row
-
+    update = update & (offs < w) & (state.count + offs < cap)
+    st = jnp.where(update, offs, _OOB)
+    stage_pts = jnp.zeros((w, 3), jnp.float32).at[st].set(
+        points, mode="drop", unique_indices=True
+    )
+    stage_h = jnp.full((w,), hsize, jnp.int32).at[st].set(
+        h, mode="drop", unique_indices=True
+    )
     n_new = jnp.sum(update.astype(jnp.int32))
-    positions = state.positions.at[slot].set(points)
-    quats = state.quats.at[slot].set(jnp.array([1.0, 0, 0, 0], jnp.float32))
-    geo_feats = state.geo_feats.at[slot].set(0.0)
-    color_feats = state.color_feats.at[slot].set(0.0)
-    certainty = state.certainty.at[slot].set(0.0)
-    ts = jnp.asarray(cur_ts, jnp.int32)
-    ts_create = state.ts_create.at[slot].set(ts)
-    ts_update = state.ts_update.at[slot].set(ts)
-    # restore sentinel row
-    positions = positions.at[cap].set(0.0)
-    geo_feats = geo_feats.at[cap].set(0.0)
-    color_feats = color_feats.at[cap].set(0.0)
-    certainty = certainty.at[cap].set(0.0)
-    ts_create = ts_create.at[cap].set(0)
-    ts_update = ts_update.at[cap].set(0)
 
-    hash_slot = jnp.where(update, h, hsize)
+    # scatter only the W staged rows into the slabs
+    wlive = jnp.arange(w, dtype=jnp.int32) < n_new
+    new_idx_w = state.count + jnp.arange(w, dtype=jnp.int32)
+    slot_w = jnp.where(wlive, new_idx_w, _OOB)
+    ts = jnp.asarray(cur_ts, jnp.int32)
+    positions = state.positions.at[slot_w].set(
+        stage_pts, mode="drop", unique_indices=True
+    )
+    ts_create = state.ts_create.at[slot_w].set(
+        ts, mode="drop", unique_indices=True
+    )
+    ts_update = state.ts_update.at[slot_w].set(
+        ts, mode="drop", unique_indices=True
+    )
+    # two staged voxels can share a bucket (hash collision): duplicates are
+    # possible, so no unique_indices on the table/mirror scatters
+    hash_slot = jnp.where(wlive, stage_h, hsize)
     hash_table = state.hash_table.at[hash_slot].set(
-        new_idx.astype(jnp.int32), mode="drop"
+        new_idx_w, mode="drop"
     )
     mirror_rows = jnp.concatenate(
         [
-            points,
-            jnp.broadcast_to(travel_dist[cur_ts], (points.shape[0],))[:, None],
+            stage_pts,
+            jnp.broadcast_to(travel_dist[cur_ts], (w,))[:, None],
         ],
         axis=1,
-    )  # [M, 4]
+    )  # [W, 4]
     hash_mirror = state.hash_mirror.at[hash_slot].set(mirror_rows, mode="drop")
 
     new_ratio = n_new / jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     new_state = NeuralMapState(
         positions=positions,
-        quats=quats,
-        geo_feats=geo_feats,
-        color_feats=color_feats,
-        certainty=certainty,
+        quats=state.quats,
+        geo_feats=state.geo_feats,
+        color_feats=state.color_feats,
+        certainty=state.certainty,
         ts_create=ts_create,
         ts_update=ts_update,
         count=jnp.minimum(state.count + n_new, cap),
@@ -429,7 +448,14 @@ def prune_and_rehash(
         return out.at[cap].set(fill)
 
     positions = compact(state.positions)
+    # freed rows must satisfy the insert_points slab invariant:
+    # identity quaternion, zero features/certainty (zeros come free from
+    # compact's fill; the quat w-component needs restoring)
     quats = compact(state.quats)
+    dead = jnp.arange(cap + 1) >= jnp.sum(keep.astype(jnp.int32))
+    quats = jnp.where(
+        dead[:, None], jnp.array([1.0, 0, 0, 0], jnp.float32), quats
+    )
     geo_feats = compact(state.geo_feats)
     color_feats = compact(state.color_feats)
     certainty = compact(state.certainty)

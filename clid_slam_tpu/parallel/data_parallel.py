@@ -94,7 +94,9 @@ def make_dp_mapping_fn(
         label_op = jax.nn.sigmoid(label / sigma)
         bce = optax.sigmoid_binary_cross_entropy(pred / sigma, label_op)
         if loss_weight_on:
-            sdf_loss = jnp.sum(w_abs * bce) / bs
+            sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(
+                jnp.sum(bvalid), 1.0
+            )
         else:
             sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(jnp.sum(bvalid), 1.0)
 
@@ -158,7 +160,7 @@ def make_dp_mapping_fn(
             k, kb = jax.random.split(k)
             idx = sample_batch_indices(pool, kb, bs, bs_new)
             idx = constrain(idx, batch_sharding)
-            bvalid = (idx < pool.size).astype(jnp.float32)
+            bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
             coord = constrain(pool.coords[idx], batch_sharding2)
             label = pool.sdf[idx]
             weight = pool.weight[idx]

@@ -315,7 +315,9 @@ def make_spatial_fns(
                     pred / sigma, label_op
                 )
                 if loss_weight_on:
-                    sdf_loss = jnp.sum(w_abs * bce) / bs
+                    sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(
+                        jnp.sum(bvalid), 1.0
+                    )
                 else:
                     sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(
                         jnp.sum(bvalid), 1.0
@@ -362,7 +364,7 @@ def make_spatial_fns(
                 feats, mlp_p, fa, ma, certainty, ts_upd, k, _ = carry
                 k, kb = jax.random.split(k)
                 idx = sample_batch_indices(pool, kb, bs, bs_new)
-                bvalid = (idx < pool.size).astype(jnp.float32)
+                bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
                 batch = (
                     pool.coords[idx], pool.sdf[idx], pool.weight[idx], bvalid
                 )

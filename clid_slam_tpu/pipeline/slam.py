@@ -322,18 +322,14 @@ class SlamSystem:
             self.travel_dist_dev,
             self.cfg.voxel_size_m,
         )
+        # rebuild pool world coords from the corrected trajectory (same as
+        # the BA write-back path): coords' = T_new·T_old⁻¹·coords
+        old_all = jnp.asarray(d.odom_poses[: self.total_frames], jnp.float32)
         d.odom_poses[:n] = corr
         d.cur_pose_ref = corr[-1]
         d.last_pose_ref = corr[-1]
-        # rebuild pool world coords from the corrected trajectory (same as
-        # the BA write-back path)
-        all_poses = jnp.asarray(d.odom_poses[: self.total_frames], jnp.float32)
-        T = all_poses[jnp.clip(self.pool.ts, 0)]
-        coords = (
-            jnp.einsum("bij,bj->bi", T[:, :3, :3], self.pool.coords_local)
-            + T[:, :3, 3]
-        )
-        self.pool = self.pool._replace(coords=coords)
+        new_all = jnp.asarray(d.odom_poses[: self.total_frames], jnp.float32)
+        self.pool = pl.retransform_coords(self.pool, old_all, new_all)
         # local raw-point map is stale after a global correction: reset it
         # (it refills from the next frames; reference resets the local map
         # on pose jumps too, slam.py:167-181)
@@ -718,19 +714,17 @@ class SlamSystem:
             cfg.ba_iters,
         )
         new_poses = np.asarray(new_poses, np.float64)
+        old_all = jnp.asarray(
+            d.odom_poses[: self.total_frames], jnp.float32
+        )
         d.odom_poses[lo : frame_id + 1] = new_poses
         d.cur_pose_ref = new_poses[-1]
         d.last_pose_ref = new_poses[-1]
         # rebuild pool world coords from the corrected trajectory
-        all_poses = jnp.asarray(
+        new_all = jnp.asarray(
             d.odom_poses[: self.total_frames], jnp.float32
         )
-        T = all_poses[jnp.clip(self.pool.ts, 0)]
-        coords = (
-            jnp.einsum("bij,bj->bi", T[:, :3, :3], self.pool.coords_local)
-            + T[:, :3, 3]
-        )
-        self.pool = self.pool._replace(coords=coords)
+        self.pool = pl.retransform_coords(self.pool, old_all, new_all)
 
     # ------------------------------------------------------------ finalize
     def finalize(self, run_path: str) -> dict:
@@ -820,6 +814,7 @@ class SlamSystem:
             pool_sdf=np.asarray(self.pool.sdf),
             pool_weight=np.asarray(self.pool.weight),
             pool_ts=np.asarray(self.pool.ts),
+            pool_valid=np.asarray(self.pool.valid),
             pool_size=np.asarray(self.pool.size),
             iekf_rot=self.tracker.x.rot,
             iekf_pos=self.tracker.x.pos,
@@ -866,6 +861,9 @@ class SlamSystem:
             sdf=jnp.asarray(z["pool_sdf"]),
             weight=jnp.asarray(z["pool_weight"]),
             ts=jnp.asarray(z["pool_ts"]),
+            valid=jnp.asarray(z["pool_valid"])
+            if "pool_valid" in z
+            else jnp.arange(len(z["pool_coords"])) < int(z["pool_size"]),
             size=jnp.asarray(z["pool_size"]),
         )
         self.tracker.x = iekf.IEKFState(

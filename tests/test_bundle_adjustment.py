@@ -42,7 +42,7 @@ def test_ba_recovers_pose_offset(rng):
     pool = pl.init_pool(1 << 15, 1 << 15)
     pool = pl.append_samples(
         pool, batch.coords, batch.sdf_label, batch.weight, batch.mask, 0,
-        jnp.zeros_like(batch.mask), coords_local=batch.coords,
+        jnp.zeros_like(batch.mask),
     )
     mlp = dec.init_mlp(jax.random.PRNGKey(1), F + 3, 64, 1)
     nb = neighbor_offsets(2, 0.5)
@@ -60,12 +60,18 @@ def test_ba_recovers_pose_offset(rng):
         300, 1.0,
     )
 
-    # window of 2 poses, both perturbed from identity
+    # Window of 2 poses, both perturbed from identity. The pool's world
+    # coords must be CONSISTENT with the window poses (BA recomputes
+    # sensor-frame coords as T0⁻¹·world): odometry with pose=offset would
+    # have produced world coords offset·sensor_pts.
     offset = np.eye(4)
     offset[:3, 3] = [0.06, -0.04, 0.02]
     poses0 = jnp.asarray(
         np.stack([offset, offset]), jnp.float32
     )  # frames 0..1 (all pool ts are 0)
+    drifted = pool._replace(
+        coords=pool.coords + jnp.asarray(offset[:3, 3], jnp.float32)
+    )
 
     ba_fn = ba.make_ba_fn(
         feature_dim=F, knn_k=6, nb_offs=nb, resolution=RES,
@@ -73,7 +79,8 @@ def test_ba_recovers_pose_offset(rng):
         lr_pose=2e-3, lr_map=0.0, adam_eps=1e-15,
     )
     nmap2, new_poses, loss = ba_fn(
-        nmap, mlp, pool, poses0, 0, travel, 0, 1e9, jax.random.PRNGKey(5), 150
+        nmap, mlp, drifted, poses0, 0, travel, 0, 1e9,
+        jax.random.PRNGKey(5), 150
     )
     new_poses = np.asarray(new_poses)
     # the optimized pose for frame 0 must move toward identity

@@ -161,11 +161,18 @@ def test_pool_filter_and_append(rng):
 
     pool = fresh()
     assert int(pool.size) == 100
-    # filter_pool donates its input — build a fresh pool per call
+    assert int(pool.valid.sum()) == 100
+    # filter_pool donates its input — build a fresh pool per call.
+    # Filtering is mask-only: size stays (high-water mark), valid drops.
     pool2 = pl.filter_pool(fresh(), jnp.full((3,), 100.0), 5.0)
-    assert int(pool2.size) == 0
+    assert int(pool2.valid.sum()) == 0
     pool3 = pl.filter_pool(fresh(), jnp.zeros(3), 10.0)
-    assert int(pool3.size) == 100
+    assert int(pool3.valid.sum()) == 100
+    # filtered-out rows must not contribute to training batches: they are
+    # gated by the valid mask at sampling time
+    idx = pl.sample_batch_indices(pool2, jax.random.PRNGKey(0), 16, 0)
+    bvalid = np.asarray(pool2.valid[idx] & (idx < pool2.size))
+    assert not bvalid.any()
 
 
 def test_pool_overflow_drops_new(rng):

@@ -41,7 +41,9 @@ def tiny_config(**kw) -> Config:
     c.local_map_hash_size = 1 << 17
     c.max_scan_points = 1 << 13
     c.max_source_points = 1 << 11
-    c.pool_capacity = 1 << 16
+    # >= 2x the per-frame sample block (8192*7) so the stripe-ring append
+    # fast path engages and several frames of replay history survive
+    c.pool_capacity = 1 << 18
     c.track_on = True
     c.silence = True
     for k, v in kw.items():
