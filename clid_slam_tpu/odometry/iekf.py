@@ -173,7 +173,8 @@ class IEKF:
         Fw *= dt
 
         self.x = x.boxplus(f * dt)
-        self.P = F @ self.P @ F.T + Fw @ self.Q @ Fw.T
+        P = F @ self.P @ F.T + Fw @ self.Q @ Fw.T
+        self.P = 0.5 * (P + P.T)  # keep P exactly symmetric
 
     # ---------------------------------------------------- iterated update
     def update_iterated(
@@ -193,6 +194,7 @@ class IEKF:
         converged = False
         S18 = np.zeros((18, 18))
         KH = np.zeros((18, 18))
+        A_inv = self.P.copy()
 
         for i in range(cfg.max_iteration):
             dx_new = self.x.boxminus(x_propagated)
@@ -222,6 +224,14 @@ class IEKF:
             A_inv = np.linalg.inv(S18 + P_inv)
             KH = A_inv @ S18  # = K @ H
             dx = -(A_inv @ b18) + (KH - I) @ dx_new
+            # trust region: a per-iteration step beyond the frame-level
+            # catastrophic-failure bound (utils/slam_dataset.py:544-550) is
+            # never legitimate — it means (S+P⁻¹) went near-singular; scale
+            # the whole step back so the iteration stays in a sane basin
+            step_cap = 10.0
+            tran_raw = np.linalg.norm(dx[3:6])
+            if tran_raw > step_cap:
+                dx = dx * (step_cap / tran_raw)
 
             self.x = self.x.boxplus(dx)
             tran_m = np.linalg.norm(dx[3:6])
@@ -235,7 +245,12 @@ class IEKF:
             if not valid_flag or converged:
                 break
 
-        self.P = (I - KH) @ self.P
+        # information-form covariance update: (I-KH)P == (S+P⁻¹)⁻¹ exactly,
+        # but the right-hand form is symmetric-PSD by construction — the
+        # product form loses definiteness in finite precision and a
+        # non-PSD P eventually makes (S+P⁻¹) indefinite, exploding dx
+        # (observed: 95 m iteration steps once P degraded)
+        self.P = 0.5 * (A_inv + A_inv.T)
         return self.x.pose_matrix(), valid_flag
 
 
@@ -389,6 +404,7 @@ def device_predict_imu(rot, pos, vel, bg, ba, grav, P, Q, imu_rows, imu_count):
         pos_n = pos + vel * dt
         vel_n = vel + f_vel * dt
         P_n = F @ P @ F.T + Fw @ Q @ Fw.T
+        P_n = 0.5 * (P_n + P_n.T)  # keep P exactly symmetric
         return (rot_n, pos_n, vel_n, bg, ba, grav, P_n)
 
     return jax.lax.fori_loop(
@@ -581,11 +597,19 @@ def make_cached_update_fn(
             S18 = jnp.zeros((18, 18), jnp.float32).at[:6, :6].set(S6)
             b18 = jnp.zeros((18,), jnp.float32).at[:6].set(b6)
             A = S18 + P_inv
+            # [dx_solve | KH | A⁻¹] in one solve; A⁻¹ is the posterior
+            # covariance in information form ((I-KH)P == (S+P⁻¹)⁻¹ exactly,
+            # and the latter stays symmetric-PSD in f32)
             sol = _equilibrated_solve(
-                A, jnp.concatenate([b18[:, None], S18], axis=1)
+                A, jnp.concatenate([b18[:, None], S18, I18], axis=1)
             )
-            KH = sol[:, 1:]
+            KH = sol[:, 1:19]
+            A_inv = sol[:, 19:]
             dx = -sol[:, 0] + (KH - I18) @ dx_new
+            # trust region: steps beyond the frame-level failure bound are
+            # solver blow-ups (near-singular A), never real motion
+            tran_raw = jnp.linalg.norm(dx[3:6])
+            dx = dx * jnp.minimum(1.0, 10.0 / jnp.maximum(tran_raw, 1e-12))
             rot = rot @ lie.so3_exp(dx[0:3])
             pos = pos + dx[3:6]
             rest = rest + dx[6:18]
@@ -602,7 +626,7 @@ def make_cached_update_fn(
                 i == max_iteration - 1
             )
             return (
-                i + 1, rot, pos, rest, KH, n_valid,
+                i + 1, rot, pos, rest, A_inv, n_valid,
                 converged | low_valid | stalled, ~low_valid, step,
             )
 
@@ -611,19 +635,19 @@ def make_cached_update_fn(
             rot0,
             pos0,
             rest0,
-            jnp.zeros((18, 18), jnp.float32),
+            P,
             jnp.zeros(()),
             jnp.zeros((), bool),
             jnp.ones((), bool),
             jnp.full((), jnp.inf),
         )
-        i, rot, pos, rest, KH, n_valid, _, ok, _ = jax.lax.while_loop(
+        i, rot, pos, rest, A_inv, n_valid, _, ok, _ = jax.lax.while_loop(
             cond, it_body, init
         )
         ok = ok & ~(
             (n_valid / n_total < min_valid_ratio) & (i == max_iteration)
         )
-        P_new = (I18 - KH) @ P
+        P_new = 0.5 * (A_inv + A_inv.T)
         return rot, pos, rest, P_new, ok, i
 
     return body
@@ -733,13 +757,19 @@ def make_update_iterated_fn(
             b18 = jnp.zeros((18,), jnp.float32).at[:6].set(b6)
 
             A = S18 + P_inv
-            # [dx_solve | KH] = A⁻¹ [b | S]
+            # [dx_solve | KH | A⁻¹] = A⁻¹ [b | S | I]; A⁻¹ is the posterior
+            # covariance in information form (== (I-KH)P exactly, but
+            # symmetric-PSD in f32 — see make_cached_update_fn)
             sol = _equilibrated_solve(
-                A, jnp.concatenate([b18[:, None], S18], axis=1)
+                A, jnp.concatenate([b18[:, None], S18, I18], axis=1)
             )
             Ainv_b = sol[:, 0]
-            KH = sol[:, 1:]
+            KH = sol[:, 1:19]
+            A_inv = sol[:, 19:]
             dx = -Ainv_b + (KH - I18) @ dx_new
+            # trust region (see make_cached_update_fn)
+            tran_raw = jnp.linalg.norm(dx[3:6])
+            dx = dx * jnp.minimum(1.0, 10.0 / jnp.maximum(tran_raw, 1e-12))
 
             rot = rot @ lie.so3_exp(dx[0:3])
             pos = pos + dx[3:6]
@@ -762,7 +792,7 @@ def make_update_iterated_fn(
                 i == max_iteration - 1
             )
             return (
-                i + 1, rot, pos, rest, KH, n_valid,
+                i + 1, rot, pos, rest, A_inv, n_valid,
                 converged | low_valid | stalled, ~low_valid, step,
             )
 
@@ -771,19 +801,19 @@ def make_update_iterated_fn(
             rot0,
             pos0,
             rest0,
-            jnp.zeros((18, 18), jnp.float32),
+            P,
             jnp.zeros(()),
             jnp.zeros((), bool),
             jnp.ones((), bool),
             jnp.full((), jnp.inf),
         )
-        i, rot, pos, rest, KH, n_valid, _, ok, _ = jax.lax.while_loop(
+        i, rot, pos, rest, A_inv, n_valid, _, ok, _ = jax.lax.while_loop(
             cond, body, init
         )
         # final low-validity check mirrors the reference (flag only
         # meaningful when the loop exhausted without convergence)
         ok = ok & ~((n_valid / n_total < min_valid_ratio) & (i == max_iteration))
-        P_new = (I18 - KH) @ P
+        P_new = 0.5 * (A_inv + A_inv.T)
         return rot, pos, rest, P_new, ok, i
 
     return update

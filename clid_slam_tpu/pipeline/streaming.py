@@ -487,6 +487,43 @@ class StreamingSlam:
             track_iters=jnp.zeros((T,), jnp.int32),
         )
 
+    def precompile(self):
+        """Compile every frame-step variant BEFORE frame 0 (track on/off ×
+        pool-filter on/off) so no compile ever lands inside the odometry
+        loop (round-1 showed a 44 s mid-run stall when the second prep
+        variant compiled at frame 9). Runs each variant once on a throwaway
+        clone of the initial state (donation consumes the clone)."""
+        cfg = self.cfg
+        zeros = np.zeros((cfg.max_scan_points, 3), np.float32)
+        zmask = np.zeros(cfg.max_scan_points, bool)
+        zts = np.zeros(cfg.max_scan_points, np.float32)
+        imu = np.zeros((self.imu_max_rows, 7), np.float32)
+        for variant, step in self.steps.items():
+            clone = jax.tree.map(jnp.copy, self.state)
+            out = step(
+                clone,
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(zeros),
+                jnp.asarray(zmask),
+                jnp.asarray(zts),
+                jnp.asarray(imu),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(cfg.max_range, jnp.float32),
+                jnp.asarray(cfg.iters, jnp.int32),
+                jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(False),
+            )
+            jax.block_until_ready(out.pos)
+            del out
+        if cfg.prune_map_on:
+            clone = jax.tree.map(jnp.copy, self.state.map_state)
+            out = nm.prune_and_rehash(
+                clone, cfg.max_prune_certainty, self.state.travel_dist, 0,
+                cfg.diff_travel_dist_local, cfg.voxel_size_m,
+            )
+            jax.block_until_ready(out.count)
+            del out
+
     def seed_pose(self, rot: np.ndarray, pos: np.ndarray, vel=None):
         """Anchor the initial pose (and optionally velocity) before
         frame 0 — the gt[0]-anchoring path (pipeline/slam.py frame-0

@@ -104,3 +104,103 @@ def relative_error(
         "drift_t_percent": float(np.mean(t_errs) * 100.0),
         "drift_r_deg_per_100m": float(np.degrees(np.mean(r_errs)) * 100.0),
     }
+
+
+def _nn_dist_chunked(
+    src: np.ndarray, dst: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """For each src point, distance to the nearest dst point. Brute-force
+    in chunks (no KD-tree dependency; fine for <=1M-point eval clouds)."""
+    src = np.asarray(src, np.float32)
+    dst = np.asarray(dst, np.float32)
+    out = np.empty(len(src), np.float32)
+    d_sq = np.sum(dst * dst, axis=1)
+    for i in range(0, len(src), chunk):
+        s = src[i : i + chunk]
+        # |s-d|^2 = |s|^2 - 2 s.d + |d|^2, rowwise min over dst
+        cross = s @ dst.T
+        d2 = np.sum(s * s, axis=1)[:, None] - 2.0 * cross + d_sq[None, :]
+        out[i : i + chunk] = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+    return out
+
+
+def mesh_f_score(
+    pred_points: np.ndarray,
+    gt_points: np.ndarray,
+    threshold_m: float = 0.1,
+    sample_n: int = 200_000,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Reconstruction quality vs a ground-truth cloud: accuracy (pred->gt
+    mean distance), completeness (gt->pred), precision/recall at
+    ``threshold_m``, F-score, and Chamfer-L1 — the metric set of the
+    reference's mesh evaluation workflow (tools.ipynb cells 5-14, which call
+    the PIN-SLAM eval utilities over sampled mesh points vs a GT cloud).
+
+    ``pred_points`` are points sampled from the reconstructed mesh surface
+    (e.g. mesh vertices, or sample_mesh_points()); ``gt_points`` the
+    reference cloud. Both are subsampled to ``sample_n`` points."""
+    rng = np.random.default_rng(seed)
+    pred = np.asarray(pred_points, np.float32).reshape(-1, 3)
+    gt = np.asarray(gt_points, np.float32).reshape(-1, 3)
+    if len(pred) == 0 or len(gt) == 0:
+        return {
+            "accuracy_m": float("inf"),
+            "completeness_m": float("inf"),
+            "chamfer_l1_m": float("inf"),
+            "precision": 0.0,
+            "recall": 0.0,
+            "f_score": 0.0,
+            "threshold_m": threshold_m,
+        }
+    if len(pred) > sample_n:
+        pred = pred[rng.choice(len(pred), sample_n, replace=False)]
+    if len(gt) > sample_n:
+        gt = gt[rng.choice(len(gt), sample_n, replace=False)]
+    d_pred_gt = _nn_dist_chunked(pred, gt)  # accuracy direction
+    d_gt_pred = _nn_dist_chunked(gt, pred)  # completeness direction
+    precision = float(np.mean(d_pred_gt < threshold_m))
+    recall = float(np.mean(d_gt_pred < threshold_m))
+    f = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    return {
+        "accuracy_m": float(d_pred_gt.mean()),
+        "completeness_m": float(d_gt_pred.mean()),
+        "chamfer_l1_m": float(0.5 * (d_pred_gt.mean() + d_gt_pred.mean())),
+        "precision": precision,
+        "recall": recall,
+        "f_score": float(f),
+        "threshold_m": threshold_m,
+    }
+
+
+def sample_mesh_points(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    n: int = 200_000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Uniform-area sampling of points on a triangle mesh (the reference
+    samples the reconstructed mesh with open3d's sample_points_uniformly
+    before cloud-to-cloud eval; this is the numpy equivalent)."""
+    rng = np.random.default_rng(seed)
+    v = np.asarray(vertices, np.float32)
+    t = np.asarray(triangles, np.int64).reshape(-1, 3)
+    if len(t) == 0:
+        return np.zeros((0, 3), np.float32)
+    a, b, c = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    if area.sum() <= 0:
+        return np.zeros((0, 3), np.float32)
+    pick = rng.choice(len(t), n, p=area / area.sum())
+    r1 = np.sqrt(rng.random(n, dtype=np.float32))
+    r2 = rng.random(n, dtype=np.float32)
+    w0 = 1.0 - r1
+    w1 = r1 * (1.0 - r2)
+    w2 = r1 * r2
+    return (
+        w0[:, None] * a[pick] + w1[:, None] * b[pick] + w2[:, None] * c[pick]
+    ).astype(np.float32)
