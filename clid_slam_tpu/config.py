@@ -231,6 +231,19 @@ class Config:
     max_update_points: int = 2 ** 15
     # use bfloat16 for decoder matmuls
     mlp_bf16: bool = False
+    # ---- accuracy/speed trade knobs (each r2 approximation is separately
+    # disableable so its ATE cost is measurable; scripts/ablate_accuracy.py)
+    # candidate-cached tracker in the streaming loop (one hash probe per
+    # frame) vs full re-query every IESEKF iteration
+    track_cached: bool = True
+    # cached-tracker candidate count; 0 = auto (max(16, 2*query_nn_k))
+    track_n_cand: int = 0
+    # Adam steps per fresh batch+probe in the cached mapping loop
+    # (1 = fresh batch every step, the reference cadence)
+    map_resample_every: int = 10
+    # tracker iteration after which the f32 stagnation exit may fire;
+    # set >= reg_iter_n to disable
+    stagnation_iter: int = 10
 
     # derived values filled by __post_init__/load
     sdf_scale: float = 0.055
@@ -495,6 +508,11 @@ class Config:
                 setattr(c, k, _next_pow2(int(float(t[k]))))
         if "mlp_bf16" in t:
             c.mlp_bf16 = bool(t["mlp_bf16"])
+        if "track_cached" in t:
+            c.track_cached = bool(t["track_cached"])
+        for k in ("track_n_cand", "map_resample_every", "stagnation_iter"):
+            if k in t:
+                setattr(c, k, int(t[k]))
 
         c._derive()
         return c

@@ -38,7 +38,10 @@ class AdamState(NamedTuple):
     v: any
 
 
-def _adam_update(g, st: AdamState, t, lr, eps=1e-15, b1=0.9, b2=0.999):
+def _adam_update(g, st: AdamState, t, lr, eps=1e-15, b1=0.9, b2=0.99):
+    # betas (0.9, 0.99) — the reference's online-tuned setting
+    # (utils/tools.py:251); 0.999 adapts the second moment 10x slower and
+    # measurably lags early-frame SDF convergence (phase-lag drift)
     m = jax.tree.map(lambda m_, g_: b1 * m_ + (1 - b1) * g_, st.m, g)
     v = jax.tree.map(lambda v_, g_: b2 * v_ + (1 - b2) * g_**2, st.v, g)
     mh = jax.tree.map(lambda m_: m_ / (1 - b1**t), m)
@@ -77,6 +80,7 @@ def make_mapping_fn(
     weighted_first: bool = True,
     layer_norm: bool = False,
     cached_query: bool = True,
+    resample_every: int = 10,
     as_body: bool = False,
 ):
     """Build the jitted per-frame map optimization function
@@ -137,6 +141,7 @@ def make_mapping_fn(
             encode_vecs=encode_vecs,
             weighted_first=weighted_first,
             layer_norm=layer_norm,
+            resample_every=resample_every,
             as_body=as_body,
         )
 
@@ -399,15 +404,16 @@ def _make_cached_mapping_fn(
     encode_vecs,
     weighted_first,
     layer_norm,
+    resample_every,
     as_body,
 ):
     """Candidate-cached mapping: see make_mapping_fn docstring."""
 
     dec_step = gradient_decimation
-    R = 10  # resample cadence: fresh batch + probe every R Adam steps
-    # (== the reference's per-frame iteration count, so a steady-state
-    # frame still pays exactly ONE probe; long calls — frame-0 warm-up,
-    # offline refinement — keep full batch diversity)
+    R = max(1, resample_every)  # resample cadence: fresh batch + probe
+    # every R Adam steps (R == the reference's per-frame iteration count
+    # means a steady-state frame pays exactly ONE probe; R=1 is the
+    # reference cadence — fresh batch every step)
 
     def mapping(
         map_state: nm.NeuralMapState,
@@ -426,9 +432,24 @@ def _make_cached_mapping_fn(
         n_iters = jnp.asarray(iter_count, jnp.int32)
         n_outer = (n_iters + R - 1) // R
 
+        W = bs * knn_k  # static bound on distinct map rows a batch touches
+
         def build_cache(kb):
             """Sample one batch and freeze its query geometry."""
             idx = sample_batch_indices(pool, kb, bs, bs_new)
+            # sort the batch by voxel hash: random replay indices destroy
+            # the probe's HBM locality (measured 10.5 ns/row vs 1.5 ns/row
+            # for spatially-coherent queries on the same table); same-voxel
+            # points then hit identical buckets back-to-back. Loss sums are
+            # permutation-invariant, so this is a free reordering.
+            from ..ops.voxel import grid_coords, voxel_hash
+
+            key_h = voxel_hash(
+                grid_coords(pool.coords[idx], resolution),
+                map_state.hash_table.shape[0],
+            )
+            order = jnp.argsort(key_h)
+            idx = idx[order]
             bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
             coord = pool.coords[idx]  # [bs,3]
             label = pool.sdf[idx]
@@ -494,11 +515,25 @@ def _make_cached_mapping_fn(
                 else tap_vec_r
             )
             enc_tap = jnp.where(tap_valid[..., None], enc_tap, 0.0)
+
+            # ---- frame-local working set: remap the batch's kNN rows to a
+            # compact [W] slab so every Adam iteration runs gathers, grad
+            # scatter-adds and moment updates on ~bs*k rows (a few MB,
+            # VMEM-scale) instead of the full [capacity, F] slab. The
+            # write-back below restores global state once per batch. Exact:
+            # Adam moments start at zero each frame, so untouched rows are
+            # no-ops in the reference formulation too.
+            touched = jnp.zeros((cap + 1,), jnp.int32).at[
+                safe.reshape(-1)
+            ].set(1)
+            loc = jnp.cumsum(touched) - 1  # [cap+1] local id per global row
+            local_idx = loc[safe]  # [bs,k] in [0,W)
+            (src_rows,) = jnp.nonzero(touched, size=W, fill_value=cap)
             return dict(
                 bvalid=bvalid, label=label, weight=weight, ts=ts,
                 color_lbl=color_lbl, sem_lbl=sem_lbl, valid=valid,
-                knn_idx=knn_idx, safe=safe, w0=w0, enc0=enc0, vd=vd,
-                w_tap=w_tap, enc_tap=enc_tap,
+                knn_idx=knn_idx, safe=local_idx, src_rows=src_rows,
+                w0=w0, enc0=enc0, vd=vd, w_tap=w_tap, enc_tap=enc_tap,
             )
 
         def make_loss_fn(c):
@@ -612,17 +647,24 @@ def _make_cached_mapping_fn(
 
             return loss_fn
 
-        params0 = (
-            map_state.geo_feats,
-            mlp,
-            map_state.color_feats,
-            color_mlp,
-            sem_mlp,
-        )
+        mlps0 = (mlp, color_mlp, sem_mlp)
         zeros_like = lambda tr: jax.tree.map(jnp.zeros_like, tr)
+        # slab Adam moments live as full slabs in the outer carry so they
+        # persist across batch boundaries exactly like one torch.Adam per
+        # mapping() call (utils/tools.py:251, utils/mapper.py:634); each
+        # outer gathers/scatters only the working rows
+        slabs0 = (
+            map_state.geo_feats,
+            map_state.color_feats,
+            jnp.zeros_like(map_state.geo_feats),
+            jnp.zeros_like(map_state.color_feats),
+            jnp.zeros_like(map_state.geo_feats),
+            jnp.zeros_like(map_state.color_feats),
+        )  # (geo, color, m_geo, m_color, v_geo, v_color)
         carry0 = (
-            params0,
-            AdamState(zeros_like(params0), zeros_like(params0)),
+            slabs0,
+            mlps0,
+            AdamState(zeros_like(mlps0), zeros_like(mlps0)),
             map_state.certainty,
             map_state.ts_update,
             key,
@@ -630,39 +672,49 @@ def _make_cached_mapping_fn(
         )
 
         def outer_body(o, carry):
-            params, adam, certainty, ts_upd, k, _ = carry
+            slabs, mlps, mlp_adam, certainty, ts_upd, k, _ = carry
             k, kb = jax.random.split(k)
             c = build_cache(kb)
+            # extract the batch's working slabs (one [W,F] gather per slab;
+            # every Adam iteration below touches only these)
+            work = tuple(s[c["src_rows"]] for s in slabs)
             grad_fn = jax.grad(make_loss_fn(c), has_aux=True)
             inner_n = jnp.minimum(R, n_iters - o * R)
 
             def inner(i, c2):
-                params, adam, _ = c2
-                grads, (sdf_l, eik_l) = grad_fn(params)
-                t = (o * R + i + 1).astype(jnp.float32)
-                lrs = (
-                    lr, lr * mlp_lr_scale, lr, lr * mlp_lr_scale,
-                    lr * mlp_lr_scale,
+                (wg, wc, mg, mc, vg, vc), mlps, mlp_adam, _ = c2
+                mlp_g, color_g, sem_g = mlps
+                grads, (sdf_l, eik_l) = grad_fn(
+                    (wg, mlp_g, wc, color_g, sem_g)
                 )
-                new_params, new_m, new_v = [], [], []
-                for p_, g_, m_, v_, lr_ in zip(
-                    params, grads, adam.m, adam.v, lrs
-                ):
-                    upd, st_a = _adam_update(
-                        g_, AdamState(m_, v_), t, lr_, adam_eps
-                    )
-                    new_params.append(jax.tree.map(jnp.add, p_, upd))
-                    new_m.append(st_a.m)
-                    new_v.append(st_a.v)
+                t = (o * R + i + 1).astype(jnp.float32)
+                upd_g, a_g = _adam_update(
+                    grads[0], AdamState(mg, vg), t, lr, adam_eps
+                )
+                upd_c, a_c = _adam_update(
+                    grads[2], AdamState(mc, vc), t, lr, adam_eps
+                )
+                mlp_grads = (grads[1], grads[3], grads[4])
+                upd_m, a_m = _adam_update(
+                    mlp_grads, mlp_adam, t, lr * mlp_lr_scale, adam_eps
+                )
+                new_mlps = jax.tree.map(jnp.add, mlps, upd_m)
                 return (
-                    tuple(new_params),
-                    AdamState(tuple(new_m), tuple(new_v)),
+                    (wg + upd_g, wc + upd_c, a_g.m, a_c.m, a_g.v, a_c.v),
+                    new_mlps,
+                    a_m,
                     jnp.stack([sdf_l, eik_l]),
                 )
 
-            params, adam, losses = jax.lax.fori_loop(
-                0, inner_n, inner, (params, adam, jnp.zeros((2,)))
+            work, mlps, mlp_adam, losses = jax.lax.fori_loop(
+                0, inner_n, inner, (work, mlps, mlp_adam, jnp.zeros((2,)))
             )
+            # write back (duplicate src_rows only at the sentinel, zeroed)
+            slabs = tuple(
+                s.at[c["src_rows"]].set(w).at[cap].set(0.0)
+                for s, w in zip(slabs, work)
+            )
+            geo_slab, color_slab = slabs[0], slabs[1]
 
             # certainty + update-ts once per batch, scaled by its step
             # count (the reference scatters per query_feature call; same
@@ -676,12 +728,16 @@ def _make_cached_mapping_fn(
             tap_idx_d = c["knn_idx"][::dec_step][:bd]
             tap_w_sum = jnp.sum(c["w_tap"], axis=0) * itf  # [bd,k]
             st = nm.accumulate_certainty(st, tap_idx_d, tap_w_sum, None)
-            return (params, adam, st.certainty, st.ts_update, k, losses)
+            return (
+                slabs, mlps, mlp_adam,
+                st.certainty, st.ts_update, k, losses,
+            )
 
-        params, _, certainty, ts_upd, _, losses = jax.lax.fori_loop(
-            0, n_outer, outer_body, carry0
-        )
-        feats, mlp_out, cfeats, color_mlp_out, sem_mlp_out = params
+        (
+            slabs, mlps, _, certainty, ts_upd, _, losses
+        ) = jax.lax.fori_loop(0, n_outer, outer_body, carry0)
+        feats, cfeats = slabs[0], slabs[1]
+        mlp_out, color_mlp_out, sem_mlp_out = mlps
         new_state = map_state._replace(
             geo_feats=feats,
             color_feats=cfeats,

@@ -435,6 +435,7 @@ def make_cached_update_fn(
     weighted_first: bool = True,
     layer_norm: bool = False,
     max_sdf_std: float = float("inf"),
+    stagnation_iter: int = 10,
 ):
     """Candidate-cached iterated IESEKF update (unjitted body).
 
@@ -621,7 +622,7 @@ def make_cached_update_fn(
                 & jnp.all(jnp.abs(dx[6:]) < eps)
             )
             step = rot_rad + tran_m
-            stalled = (i >= 10) & (step >= prev_step)
+            stalled = (i >= stagnation_iter) & (step >= prev_step)
             low_valid = (n_valid / n_total < min_valid_ratio) & (
                 i == max_iteration - 1
             )
@@ -675,6 +676,7 @@ def make_update_iterated_fn(
     weighted_first: bool = True,
     layer_norm: bool = False,
     max_sdf_std: float = float("inf"),
+    stagnation_iter: int = 10,
 ):
     """The ENTIRE iterated IESEKF update as one jitted device call.
 
@@ -787,7 +789,7 @@ def make_update_iterated_fn(
             # thresholds assume float64 and may be unreachable; further
             # iterations only jitter (pose kept, ~identical result)
             step = rot_rad + tran_m
-            stalled = (i >= 10) & (step >= prev_step)
+            stalled = (i >= stagnation_iter) & (step >= prev_step)
             low_valid = (n_valid / n_total < min_valid_ratio) & (
                 i == max_iteration - 1
             )

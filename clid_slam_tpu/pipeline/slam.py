@@ -208,6 +208,7 @@ class SlamSystem:
             encode_vecs=self.encode_vecs,
             weighted_first=cfg.weighted_first,
             layer_norm=cfg.layer_norm_on,
+            resample_every=cfg.map_resample_every,
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(
             knn_k=cfg.query_nn_k,
@@ -245,6 +246,7 @@ class SlamSystem:
             weighted_first=cfg.weighted_first,
             layer_norm=cfg.layer_norm_on,
             max_sdf_std=max_sdf_std,
+            stagnation_iter=cfg.stagnation_iter,
         )
         self.mesher = Mesher(
             knn_k=cfg.query_nn_k,

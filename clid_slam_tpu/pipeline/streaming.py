@@ -94,9 +94,14 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
     S = cfg.max_source_points
     window = cfg.diff_travel_dist_local
 
-    cached_update = iekf.make_cached_update_fn(
+    n_cand = cfg.track_n_cand or max(16, cfg.query_nn_k * 2)
+    make_upd = (
+        partial(iekf.make_cached_update_fn, n_cand=n_cand)
+        if cfg.track_cached
+        else iekf.make_update_iterated_fn
+    )
+    cached_update = make_upd(
         knn_k=cfg.query_nn_k,
-        n_cand=max(16, cfg.query_nn_k * 2),
         nb_offs=nb_offs,
         resolution=cfg.voxel_size_m,
         max_valid_dist2=max_valid_dist2,
@@ -113,6 +118,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         weighted_first=cfg.weighted_first,
         layer_norm=cfg.layer_norm_on,
         max_sdf_std=max_sdf_std,
+        stagnation_iter=cfg.stagnation_iter,
     )
 
     mapping_body = mp.make_mapping_fn(
@@ -141,6 +147,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         encode_vecs=encode_vecs,
         weighted_first=cfg.weighted_first,
         layer_norm=cfg.layer_norm_on,
+        resample_every=cfg.map_resample_every,
         as_body=True,
     )
 

@@ -205,6 +205,8 @@ def main():
     ap.add_argument("--azimuth", type=int, default=1024)
     ap.add_argument("--elev", type=int, default=32)
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override config.seed (decoder init / sampling)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -250,6 +252,8 @@ def main():
     os.makedirs(config.run_path, exist_ok=True)
     # seeding as setup_experiment does (utils/tools.py:191-196), without its
     # run-dir/git bookkeeping which assumes a writable git checkout
+    if args.seed is not None:
+        config.seed = args.seed
     np.random.seed(config.seed)
     torch.manual_seed(config.seed)
 
