@@ -71,9 +71,9 @@ def make_ba_fn(
             idx = jax.random.randint(
                 key_b, (ba_bs,), 0, jnp.maximum(pool.size, 1)
             )
-            world = pool.coords[idx]
-            ts = pool.ts[idx]
-            lbl = pool.sdf[idx]
+            from .pool import split_rows
+
+            world, lbl, _, ts, _, _ = split_rows(pool.data[idx])
             # surface endpoints within the window only
             w_idx = jnp.clip(ts - window_ts0, 0, window_size - 1)
             in_window = (ts >= window_ts0) & (idx < pool.size) & pool.valid[idx]

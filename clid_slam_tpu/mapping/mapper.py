@@ -30,7 +30,7 @@ import optax
 
 from ..models import decoder as dec
 from ..models import neural_map as nm
-from ..mapping.pool import ReplayPool, sample_batch_indices
+from ..mapping.pool import ReplayPool, sample_batch_indices, split_rows
 
 
 class AdamState(NamedTuple):
@@ -289,13 +289,9 @@ def make_mapping_fn(
             params, adam, certainty, ts_upd, k, _ = carry
             k, kb = jax.random.split(k)
             idx = sample_batch_indices(pool, kb, bs, bs_new)
+            rows = pool.data[idx]  # ONE row gather for all attributes
             bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
-            coord = pool.coords[idx]
-            label = pool.sdf[idx]
-            weight = pool.weight[idx]
-            ts = pool.ts[idx]
-            color_lbl = pool.color[idx]
-            sem_lbl = pool.sem[idx]
+            coord, label, weight, ts, sem_lbl, color_lbl = split_rows(rows)
 
             st = map_state._replace(certainty=certainty, ts_update=ts_upd)
             grads, aux = grad_fn(
@@ -437,6 +433,7 @@ def _make_cached_mapping_fn(
         def build_cache(kb):
             """Sample one batch and freeze its query geometry."""
             idx = sample_batch_indices(pool, kb, bs, bs_new)
+            rows = pool.data[idx]  # ONE row gather for all attributes
             # sort the batch by voxel hash: random replay indices destroy
             # the probe's HBM locality (measured 10.5 ns/row vs 1.5 ns/row
             # for spatially-coherent queries on the same table); same-voxel
@@ -445,18 +442,14 @@ def _make_cached_mapping_fn(
             from ..ops.voxel import grid_coords, voxel_hash
 
             key_h = voxel_hash(
-                grid_coords(pool.coords[idx], resolution),
+                grid_coords(rows[:, :3], resolution),
                 map_state.hash_table.shape[0],
             )
             order = jnp.argsort(key_h)
             idx = idx[order]
+            rows = rows[order]
             bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
-            coord = pool.coords[idx]  # [bs,3]
-            label = pool.sdf[idx]
-            weight = pool.weight[idx]
-            ts = pool.ts[idx]
-            color_lbl = pool.color[idx]
-            sem_lbl = pool.sem[idx]
+            coord, label, weight, ts, sem_lbl, color_lbl = split_rows(rows)
 
             d2, h, pvalid, mir = nm.neighborhood_probe(
                 map_state, coord, nb_offs, resolution, max_valid_dist2,

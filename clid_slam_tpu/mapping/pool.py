@@ -6,15 +6,20 @@ capacity cap, and batch sampling that mixes "new-region" samples with
 history replay.
 
 TPU-native differences:
+- **AoS row layout**: every per-sample attribute lives in one packed
+  [P, 8+C] float32 row — (x, y, z, sdf, weight, ts, sem, pad, color...).
+  XLA's TPU gather/scatter cost is per ROW, nearly independent of row
+  width (scripts/profile_gather.py), so the per-frame append is ONE
+  262k-row scatter instead of six, and a training batch is ONE gather.
+  ts/sem ride as float32 (exact for frame ids < 2^24 and label ids);
 - fixed arrays [P] with a live prefix [0, size) and a per-row ``valid``
   mask; the sliding-window filter only REWRITES THE MASK (one vectorized
   pass) instead of compacting — an O(P) row-scatter compaction costs
-  ~200 ms on TPU (XLA scatter ≈ 15-50 ns/element,
-  scripts/profile_gather.py) while the mask pass is bandwidth-bound
-  (~0.3 ms). Out-of-window rows linger as dead slots until eviction
-  recycles them; batch sampling gates on the mask (the reference
-  re-allocates with boolean indexing every frame, utils/mapper.py:361-367
-  — same training distribution, different storage discipline);
+  ~200 ms on TPU while the mask pass is bandwidth-bound (~0.3 ms).
+  Out-of-window rows linger as dead slots until eviction recycles them;
+  batch sampling gates on the mask (the reference re-allocates with
+  boolean indexing every frame, utils/mapper.py:361-367 — same training
+  distribution, different storage discipline);
 - when an append would overflow, the overflowing new samples overwrite
   *uniform-random old* slots (the reference discards random old samples to
   make room, utils/mapper.py:350-358 — same steady-state distribution).
@@ -36,30 +41,64 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# fixed column indices of the packed row
+_X, _SDF, _W, _TS, _SEM, _PAD = 0, 3, 4, 5, 6, 7
+BASE_COLS = 8  # color channels start here
+
 
 class ReplayPool(NamedTuple):
-    coords: jnp.ndarray  # [P,3] world-frame sample coords
-    sdf: jnp.ndarray  # [P]
-    weight: jnp.ndarray  # [P]
-    ts: jnp.ndarray  # [P] i32 frame id
-    color: jnp.ndarray  # [P,C] f32 (C=1 dummy when color mapping off)
-    sem: jnp.ndarray  # [P] i32 semantic label (-1 = unlabeled)
+    data: jnp.ndarray  # [P, 8+C] packed rows (see module docstring)
     valid: jnp.ndarray  # [P] bool — live AND inside the sliding window
     size: jnp.ndarray  # scalar i32, high-water prefix length
     new_buf: jnp.ndarray  # [B] i32 indices of new-region samples
     new_count: jnp.ndarray  # scalar i32
 
+    # column views (cold paths; hot paths gather whole rows and slice)
+    @property
+    def coords(self) -> jnp.ndarray:
+        return self.data[..., _X : _X + 3]
+
+    @property
+    def sdf(self) -> jnp.ndarray:
+        return self.data[..., _SDF]
+
+    @property
+    def weight(self) -> jnp.ndarray:
+        return self.data[..., _W]
+
+    @property
+    def ts(self) -> jnp.ndarray:
+        return self.data[..., _TS].astype(jnp.int32)
+
+    @property
+    def sem(self) -> jnp.ndarray:
+        return self.data[..., _SEM].astype(jnp.int32)
+
+    @property
+    def color(self) -> jnp.ndarray:
+        return self.data[..., BASE_COLS:]
+
+
+def split_rows(rows: jnp.ndarray):
+    """Slice a gathered [N, 8+C] row block into
+    (coords, sdf, weight, ts_i32, sem_i32, color)."""
+    return (
+        rows[..., _X : _X + 3],
+        rows[..., _SDF],
+        rows[..., _W],
+        rows[..., _TS].astype(jnp.int32),
+        rows[..., _SEM].astype(jnp.int32),
+        rows[..., BASE_COLS:],
+    )
+
 
 def init_pool(
     capacity: int, new_buf_size: int, color_channels: int = 1
 ) -> ReplayPool:
+    data = jnp.zeros((capacity, BASE_COLS + color_channels), jnp.float32)
+    data = data.at[:, _SEM].set(-1.0)  # unlabeled
     return ReplayPool(
-        coords=jnp.zeros((capacity, 3), jnp.float32),
-        sdf=jnp.zeros((capacity,), jnp.float32),
-        weight=jnp.zeros((capacity,), jnp.float32),
-        ts=jnp.zeros((capacity,), jnp.int32),
-        color=jnp.zeros((capacity, color_channels), jnp.float32),
-        sem=jnp.full((capacity,), -1, jnp.int32),
+        data=data,
         valid=jnp.zeros((capacity,), bool),
         size=jnp.zeros((), jnp.int32),
         new_buf=jnp.zeros((new_buf_size,), jnp.int32),
@@ -99,8 +138,9 @@ def append_samples(
 ) -> ReplayPool:
     """Append one frame's (masked) samples; when full, overflowing samples
     evict uniform-random old slots. Collisions between two evictors lose
-    one sample — same as the reference's random discard."""
-    p = pool.coords.shape[0]
+    one sample — same as the reference's random discard. ONE row scatter."""
+    p = pool.data.shape[0]
+    m = coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dst = pool.size + offs
     write = mask & (dst < p)
@@ -114,20 +154,18 @@ def append_samples(
     # losers get out-of-bounds index p and are dropped by the scatter
     slot = jnp.where(write, dst, p)
 
-    coords_arr = pool.coords.at[slot].set(coords, mode="drop")
-    sdf_arr = pool.sdf.at[slot].set(sdf, mode="drop")
-    weight_arr = pool.weight.at[slot].set(weight, mode="drop")
-    ts_arr = pool.ts.at[slot].set(jnp.asarray(frame_id, jnp.int32), mode="drop")
-    color_arr = (
-        pool.color.at[slot].set(color, mode="drop")
-        if color is not None
-        else pool.color
+    d = pool.data.shape[1]
+    rows = jnp.zeros((m, d), jnp.float32)
+    rows = rows.at[:, _X : _X + 3].set(coords)
+    rows = rows.at[:, _SDF].set(sdf)
+    rows = rows.at[:, _W].set(weight)
+    rows = rows.at[:, _TS].set(jnp.float32(1.0) * frame_id)
+    rows = rows.at[:, _SEM].set(
+        sem.astype(jnp.float32) if sem is not None else -1.0
     )
-    sem_arr = (
-        pool.sem.at[slot].set(sem.astype(jnp.int32), mode="drop")
-        if sem is not None
-        else pool.sem
-    )
+    if color is not None:
+        rows = rows.at[:, BASE_COLS : BASE_COLS + color.shape[1]].set(color)
+    data = pool.data.at[slot].set(rows, mode="drop")
     valid_arr = pool.valid.at[slot].set(True, mode="drop")
     # overflow evictions reuse live slots and do not grow the pool
     n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))
@@ -142,12 +180,7 @@ def append_samples(
     new_count = jnp.minimum(jnp.sum(new_flag.astype(jnp.int32)), nb)
 
     return ReplayPool(
-        coords=coords_arr,
-        sdf=sdf_arr,
-        weight=weight_arr,
-        ts=ts_arr,
-        color=color_arr,
-        sem=sem_arr,
+        data=data,
         valid=valid_arr,
         size=jnp.minimum(pool.size + n_added, p),
         new_buf=new_buf,
@@ -173,7 +206,7 @@ def retransform_coords(
     R = R_d[ts]
     t = t_d[ts]
     coords = jnp.einsum("bij,bj->bi", R, pool.coords) + t
-    return pool._replace(coords=coords)
+    return pool._replace(data=pool.data.at[:, _X : _X + 3].set(coords))
 
 
 def sample_batch_indices(

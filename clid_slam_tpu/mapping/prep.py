@@ -118,6 +118,15 @@ def make_prep_fn(
                 < surface_sample_range_m * map_surface_ratio
             )
             upd_pts = coords_global
+            # the sampler's part-major layout puts endpoint + near-surface
+            # samples in the first (1+surface_sample_n)*P rows; freespace
+            # samples carry |label| >= 2*sigma and can never pass the gate
+            # when the gate sits below that, so the insert probe only needs
+            # the surface block (262k -> 164k rows at bench shapes)
+            if map_surface_ratio <= 2.0:
+                surf_rows = (1 + surface_sample_n) * points.shape[0]
+                upd_sel = upd_sel[:surf_rows]
+                upd_pts = upd_pts[:surf_rows]
         else:
             upd_sel = mask
             upd_pts = world_pts

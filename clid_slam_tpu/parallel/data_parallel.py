@@ -161,10 +161,11 @@ def make_dp_mapping_fn(
             idx = sample_batch_indices(pool, kb, bs, bs_new)
             idx = constrain(idx, batch_sharding)
             bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
-            coord = constrain(pool.coords[idx], batch_sharding2)
-            label = pool.sdf[idx]
-            weight = pool.weight[idx]
-            ts = pool.ts[idx]
+            rows = pool.data[idx]  # one row gather for all attributes
+            from ..mapping.pool import split_rows
+
+            coord, label, weight, ts, _, _ = split_rows(rows)
+            coord = constrain(coord, batch_sharding2)
 
             st = map_state._replace(certainty=certainty, ts_update=ts_upd)
             (g_feats, g_mlp), aux = grad_fn(

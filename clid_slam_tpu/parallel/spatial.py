@@ -365,9 +365,10 @@ def make_spatial_fns(
                 k, kb = jax.random.split(k)
                 idx = sample_batch_indices(pool, kb, bs, bs_new)
                 bvalid = (pool.valid[idx] & (idx < pool.size)).astype(jnp.float32)
-                batch = (
-                    pool.coords[idx], pool.sdf[idx], pool.weight[idx], bvalid
-                )
+                from ..mapping.pool import split_rows
+
+                coord_b, sdf_b, w_b, ts_b, _, _ = split_rows(pool.data[idx])
+                batch = (coord_b, sdf_b, w_b, bvalid)
                 st = st0._replace(certainty=certainty, ts_update=ts_upd)
                 (g_feats, g_mlp), aux = grad_fn(
                     (feats, mlp_p), st, batch
@@ -382,9 +383,7 @@ def make_spatial_fns(
                 mlp_p = jax.tree.map(jnp.add, mlp_p, upd_m)
                 # certainty scatter: local winners only (knn_idx is -1
                 # elsewhere; accumulate_certainty masks those)
-                st = nm.accumulate_certainty(
-                    st, knn_idx, w_knn, pool.ts[idx]
-                )
+                st = nm.accumulate_certainty(st, knn_idx, w_knn, ts_b)
                 st = nm.accumulate_certainty(st, tap_idx, tap_w, None)
                 return (
                     feats, mlp_p, fa, ma, st.certainty, st.ts_update, k,

@@ -812,10 +812,7 @@ class SlamSystem:
             mlp_b_out=np.asarray(self.mlp.b_out),
             **_mlp_arrays("color_mlp", self.color_mlp),
             **_mlp_arrays("sem_mlp", self.sem_mlp),
-            pool_coords=np.asarray(self.pool.coords),
-            pool_sdf=np.asarray(self.pool.sdf),
-            pool_weight=np.asarray(self.pool.weight),
-            pool_ts=np.asarray(self.pool.ts),
+            pool_data=np.asarray(self.pool.data),
             pool_valid=np.asarray(self.pool.valid),
             pool_size=np.asarray(self.pool.size),
             iekf_rot=self.tracker.x.rot,
@@ -858,14 +855,26 @@ class SlamSystem:
             self.color_mlp = _mlp_from_arrays("color_mlp", z)
         if "sem_mlp_w0" in z:
             self.sem_mlp = _mlp_from_arrays("sem_mlp", z)
+        if "pool_data" in z:
+            pool_data = jnp.asarray(z["pool_data"])
+        else:
+            # legacy (pre-AoS) checkpoint layout
+            from ..mapping.pool import BASE_COLS
+
+            n_rows = len(z["pool_coords"])
+            c = self.pool.data.shape[1] - BASE_COLS
+            pd = np.zeros((n_rows, BASE_COLS + c), np.float32)
+            pd[:, 0:3] = z["pool_coords"]
+            pd[:, 3] = z["pool_sdf"]
+            pd[:, 4] = z["pool_weight"]
+            pd[:, 5] = z["pool_ts"]
+            pd[:, 6] = -1.0
+            pool_data = jnp.asarray(pd)
         self.pool = self.pool._replace(
-            coords=jnp.asarray(z["pool_coords"]),
-            sdf=jnp.asarray(z["pool_sdf"]),
-            weight=jnp.asarray(z["pool_weight"]),
-            ts=jnp.asarray(z["pool_ts"]),
+            data=pool_data,
             valid=jnp.asarray(z["pool_valid"])
             if "pool_valid" in z
-            else jnp.arange(len(z["pool_coords"])) < int(z["pool_size"]),
+            else jnp.arange(pool_data.shape[0]) < int(z["pool_size"]),
             size=jnp.asarray(z["pool_size"]),
         )
         self.tracker.x = iekf.IEKFState(

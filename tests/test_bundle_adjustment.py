@@ -70,7 +70,7 @@ def test_ba_recovers_pose_offset(rng):
         np.stack([offset, offset]), jnp.float32
     )  # frames 0..1 (all pool ts are 0)
     drifted = pool._replace(
-        coords=pool.coords + jnp.asarray(offset[:3, 3], jnp.float32)
+        data=pool.data.at[:, 0:3].add(jnp.asarray(offset[:3, 3], jnp.float32))
     )
 
     ba_fn = ba.make_ba_fn(
