@@ -464,21 +464,19 @@ def make_cached_update_fn(
         Xn = jnp.linalg.solve(An, Bn)
         return Xn * Dinv[:, None]
 
-    def body(
+    def build_candidates(
         map_state: nm.NeuralMapState,
-        mlp: dec.MLPParams,
         points_imu,
-        mask,
         rot0,
         pos0,
-        rest0,
-        P,
         travel_dist,
         cur_ts,
         window,
     ):
+        """One probe + gather at the propagated pose. Returns
+        (cand_pos [S,C,3], cand_feat [S,C,F], cvalid [S,C],
+        cand_quat [S,C,4] | None)."""
         cap = nm.map_capacity(map_state)
-        # ---- one probe + gather at the propagated pose
         pc0 = points_imu @ rot0.T + pos0
         d2, h, pvalid, mir = nm.neighborhood_probe(
             map_state, pc0, nb_offs, resolution, max_valid_dist2,
@@ -502,10 +500,27 @@ def make_cached_update_fn(
             var = jnp.var(cand_feat, axis=-1, keepdims=True)
             cand_feat = (cand_feat - mu) * jax.lax.rsqrt(var + 1e-5)
         cand_feat = jnp.where(cvalid[..., None], cand_feat, 0.0)
+        cand_quat = None
         if rotate_vecs:
             cand_quat = map_state.quats[safe] * jnp.array(
                 [1.0, -1.0, -1.0, -1.0]
             )
+        return cand_pos, cand_feat, cvalid, cand_quat
+
+    def dense_update(
+        candidates,  # (cand_pos, cand_feat, cvalid, cand_quat)
+        mlp: dec.MLPParams,
+        points_imu,
+        mask,
+        rot0,
+        pos0,
+        rest0,
+        P,
+    ):
+        """The iterated update on a frozen candidate set: pure dense
+        [S, n_cand] math, no map access — shared by the single-chip and
+        sharded (replicated-iteration) trackers."""
+        cand_pos, cand_feat, cvalid, cand_quat = candidates
         n_total = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
         # ---- dense per-iteration measurement reduction on the cache
@@ -651,6 +666,31 @@ def make_cached_update_fn(
         P_new = 0.5 * (A_inv + A_inv.T)
         return rot, pos, rest, P_new, ok, i
 
+    def body(
+        map_state: nm.NeuralMapState,
+        mlp: dec.MLPParams,
+        points_imu,
+        mask,
+        rot0,
+        pos0,
+        rest0,
+        P,
+        travel_dist,
+        cur_ts,
+        window,
+    ):
+        cands = build_candidates(
+            map_state, points_imu, rot0, pos0, travel_dist, cur_ts, window
+        )
+        return dense_update(
+            cands, mlp, points_imu, mask, rot0, pos0, rest0, P
+        )
+
+    # exposed for the sharded tracker: candidates built collectively, the
+    # dense iteration then runs replicated (parallel/slam_sharded.py)
+    body.build_candidates = build_candidates
+    body.dense_update = dense_update
+    body.n_cand = n_cand
     return body
 
 

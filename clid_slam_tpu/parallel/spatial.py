@@ -13,22 +13,30 @@ Design (idiomatic SPMD, not a port):
   no global bounding box (SLAM trajectories are unbounded), at the cost of
   no spatial locality — which is irrelevant here because the combine step
   is a fixed-size collective either way, and ICI is fast.
-- **Replicated queries, local probes, collective combine.** Query points are
-  replicated. Each shard probes its local hash for all K neighborhood cells
-  (one [H,4] mirror row-gather, same as the single-chip path). Per (query,
-  cell) slot the best candidate across shards is selected with two ``pmin``s
-  (min-d², then winner-shard tie-break) and combined with one masked
-  ``psum`` of the winning mirror rows. kNN selection, IDW weights, and the
-  decoder then run replicated on the combined candidates.
-- **Feature gathers/scatters stay shard-local.** Only the winning slots'
-  features are psum-combined ([N,k,F]); the loss consumes the combined
-  features, so autodiff routes each shard's gradient back through its own
-  masked gather to its own slab — the psum transpose is free (broadcast).
-  Certainty scatter-adds are applied by each shard to its own winners.
+- **Replicated queries, local partial kNN, distance-only exchange.** Query
+  points are replicated. Each shard probes its local hash for all K
+  neighborhood cells — its table only holds points it OWNS, so its probe
+  yields exactly its own candidates (ownership partitions cells; no
+  cross-shard duplicates by construction). Each shard top-k-selects its
+  own k best candidates, and only the [N,k] candidate DISTANCES are
+  all-gathered; every shard then computes the identical global top-k over
+  the S·k merged candidates and contributes its winners' payload
+  (position‖features‖certainty) to positionally-disjoint slots of ONE
+  masked ``psum`` [N,k,3+F+1]. This replaces the r2 design (full-candidate
+  ``psum`` of [N,K,4] mirror rows + two [N,K] pmins) — the spatial-halo
+  analog for hash ownership, where "boundary traffic" is the k-candidate
+  frontier instead of a geometric ring.
+- **Feature gathers/scatters stay shard-local.** The loss consumes the
+  combined features, so autodiff routes each shard's gradient back through
+  its own masked gather to its own slab — the psum transpose is free
+  (broadcast). Certainty scatter-adds are applied by each shard to its own
+  winners.
 
-Per-batch collective traffic (bs=16k, K=33 cells, k=6, F=8):
-~psum [N,K,4] (8.6 MB) + 2×pmin [N,K] + psum [N,k,F+4] (3 MB) — a few ms
-on one ICI hop, amortized over 10-20 Adam iterations per frame.
+Per-QUERY collective traffic at K=81 cells, k=6, F=8 (f32):
+  r2 combine:  psum[K,4] + 2·pmin[K] + psum[k,F+1]  = (324+162+54)·4 = 2160 B
+  this combine: all_gather[k] + psum[k, 3+F+1]      = (6+72)·4      =  312 B
+a 6.9x reduction (collective_bytes_per_query() reports both; the scaling
+benchmark records measured step times over mesh sizes).
 """
 
 from __future__ import annotations
@@ -113,6 +121,49 @@ class SpatialQueryResult(NamedTuple):
 _FAR = 9e3
 
 
+def collective_bytes_per_query(n_cells: int, knn_k: int, feature_dim: int):
+    """Per-query collective payload bytes: (r2 full-candidate combine,
+    current partial-kNN combine). Documents the measured ≥5x reduction."""
+    old = (n_cells * 4 + 2 * n_cells + knn_k * (feature_dim + 1)) * 4
+    new = (knn_k + knn_k * (3 + feature_dim + 1)) * 4
+    return old, new
+
+
+def _partial_knn(
+    st: nm.NeuralMapState,
+    points: jnp.ndarray,
+    k: int,
+    *,
+    nb_offs,
+    resolution,
+    max_valid_dist2,
+    travel_dist,
+    cur_ts,
+    window,
+    time_filtering,
+):
+    """Local k-best candidates over the cells THIS shard owns (its hash
+    only stores owned points). Returns (kd2 [N,k] with _FAR at invalid,
+    h_sel [N,k] local buckets, n_valid [N] local candidate count)."""
+    d2, h, valid, mir = nm.neighborhood_probe(
+        st, points, nb_offs, resolution, max_valid_dist2,
+        travel_dist, cur_ts, window, time_filtering,
+    )
+    d2m = jnp.where(valid, d2, _FAR)
+    negk, selk = jax.lax.top_k(-d2m, k)  # [N,k]
+    kd2 = -negk
+    h_sel = jnp.take_along_axis(h, selk, axis=1)
+    kvalid = jnp.take_along_axis(valid, selk, axis=1)
+    # dedupe: the same bucket can surface via two probed cells
+    dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
+        jnp.tri(k, k, -1, dtype=bool)[None]
+    )
+    kvalid = kvalid & ~jnp.any(dup, axis=-1)
+    kd2 = jnp.where(kvalid, kd2, _FAR)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    return kd2, h_sel, n_valid
+
+
 def _combined_query(
     st: nm.NeuralMapState,  # local shard state (no leading axis)
     points: jnp.ndarray,
@@ -130,55 +181,47 @@ def _combined_query(
     encode_vecs=None,
 ) -> SpatialQueryResult:
     """nm.query_feature semantics over the union of all shards' points.
-    Runs inside shard_map; differentiable wrt st.geo_feats (shard-local)."""
+    Runs inside shard_map; differentiable wrt st.geo_feats (shard-local).
+
+    Combine = partial-kNN exchange (module docstring): all_gather of the
+    [N,k] per-shard candidate distances, replicated global top-k over the
+    S·k merged candidates, one masked psum of the winners' payload."""
     my = jax.lax.axis_index(axis)
-    d2, h, valid, mir = nm.neighborhood_probe(
-        st, points, nb_offs, resolution, max_valid_dist2,
-        travel_dist, cur_ts, window, time_filtering,
+    kd2, h_sel, n_local = _partial_knn(
+        st, points, knn_k,
+        nb_offs=nb_offs, resolution=resolution,
+        max_valid_dist2=max_valid_dist2, travel_dist=travel_dist,
+        cur_ts=cur_ts, window=window, time_filtering=time_filtering,
     )
-    d2m = jnp.where(valid, d2, _FAR)
-    best = jax.lax.pmin(d2m, axis)  # [N,K] min over shards
-    won0 = (d2m <= best) & valid
-    winner = jax.lax.pmin(
-        jnp.where(won0, my, n_shards).astype(jnp.int32), axis
-    )
-    won = won0 & (winner == my)
-    mir_c = jax.lax.psum(
-        jnp.where(won[..., None], mir, 0.0), axis
-    )  # [N,K,4] winning rows
-    validc = best < _FAR
+    n = points.shape[0]
+    all_d2 = jax.lax.all_gather(kd2, axis)  # [S,N,k]
+    flat = jnp.transpose(all_d2, (1, 0, 2)).reshape(n, n_shards * knn_k)
+    negg, selg = jax.lax.top_k(-flat, knn_k)  # replicated global top-k
+    knn_d2 = -negg  # [N,k]
+    win_shard = selg // knn_k  # [N,k]
+    win_slot = selg % knn_k
+    valid_sel = knn_d2 < _FAR
+    nn_count = jax.lax.psum(n_local, axis)  # [N] candidates across shards
 
-    nn_count = jnp.sum(validc.astype(jnp.int32), axis=-1)
-
-    d2_for_sort = jnp.where(validc, best, _FAR)
-    neg_top, sel = jax.lax.top_k(-d2_for_sort, knn_k)  # replicated
-    knn_d2 = -neg_top
-    valid_sel = jnp.take_along_axis(validc, sel, axis=1)
-    win_sel = jnp.take_along_axis(winner, sel, axis=1)  # [N,k]
-    h_sel = jnp.take_along_axis(h, sel, axis=1)  # local buckets (same cells)
-    # dedupe identical candidates: same winning shard AND same bucket there
-    # means the same physical point surfaced via two probed cells
-    dup = (
-        (win_sel[:, :, None] == win_sel[:, None, :])
-        & (h_sel[:, :, None] == h_sel[:, None, :])
-        & jnp.tri(knn_k, knn_k, -1, dtype=bool)[None]
-    )
-    valid_sel = valid_sel & ~jnp.any(dup, axis=-1)
-
-    mine_sel = valid_sel & (win_sel == my)
+    # my winners' payload, scattered into their global slot positions
+    mine = valid_sel & (win_shard == my)  # [N,k]
+    slot = jnp.where(mine, win_slot, 0)
+    my_h = jnp.take_along_axis(h_sel, slot, axis=1)  # [N,k] local buckets
     cap = nm.map_capacity(st)
-    idx_local = st.hash_table[h_sel]
-    mine_sel = mine_sel & (idx_local >= 0)
-    knn_idx = jnp.where(mine_sel, idx_local, -1)
-    safe = jnp.where(mine_sel, idx_local, cap)
+    idx_local = st.hash_table[my_h]
+    mine = mine & (idx_local >= 0)
+    knn_idx = jnp.where(mine, idx_local, -1)
+    safe = jnp.where(mine, idx_local, cap)
 
-    feats = jnp.where(mine_sel[..., None], st.geo_feats[safe], 0.0)
-    cert = jnp.where(mine_sel, st.certainty[safe], 0.0)
-    contrib = jnp.concatenate([feats, cert[..., None]], axis=-1)
-    contrib = jax.lax.psum(contrib, axis)  # [N,k,F+1]
-    feats_c, cert_c = contrib[..., :-1], contrib[..., -1]
+    feats = jnp.where(mine[..., None], st.geo_feats[safe], 0.0)
+    cert = jnp.where(mine, st.certainty[safe], 0.0)
+    pos = jnp.where(mine[..., None], st.positions[safe], 0.0)
+    payload = jnp.concatenate([pos, feats, cert[..., None]], axis=-1)
+    payload = jax.lax.psum(payload, axis)  # [N,k,3+F+1] — ONE combine
+    nb_pos = payload[..., :3]
+    feats_c = payload[..., 3:-1]
+    cert_c = payload[..., -1]
 
-    nb_pos = jnp.take_along_axis(mir_c, sel[..., None], axis=1)[..., :3]
     vecs = points[:, None, :] - nb_pos
     if encode_vecs is not None:
         vecs = encode_vecs(vecs)
@@ -280,6 +323,10 @@ def make_spatial_fns(
                 feature=P(), weights=P(), knn_idx=P(axis),
                 nn_count=P(), certainty=P(),
             ),
+            # outputs ARE replicated (they derive from all_gather'd
+            # distances + psum'd payloads); the static VMA checker cannot
+            # infer replication through all_gather in this jax version
+            check_vma=False,
         )(sstate, points, travel, cur_ts, window)
 
     bd = max(1, bs // gradient_decimation)
@@ -406,10 +453,131 @@ def make_spatial_fns(
                 P(), P(), P(), P(), P(), P(),
             ),
             out_specs=(rep_specs_state, P(), P()),
+            check_vma=False,  # see query_fn
         )(sstate, mlp, pool, travel, cur_ts, window, key, iter_count,
           mlp_lr_scale)
 
     return insert_fn, query_fn, mapping_fn
+
+
+def make_sharded_tracker_fn(
+    mesh: Mesh,
+    cached_body,  # iekf.make_cached_update_fn(...) result
+    *,
+    nb_offs,
+    resolution: float,
+    max_valid_dist2: float,
+    layer_norm: bool = False,
+    axis: str = "sp",
+):
+    """Candidate-cached IESEKF update over the sharded map.
+
+    Odometry is latency-bound (SURVEY §2.3: "odometry pinned to one
+    chip"); here the ONE candidate build per frame is collective
+    (partial-kNN exchange, same combine as _combined_query but at n_cand
+    width) and the ≤max_iteration dense solve then runs replicated on
+    every shard — zero per-iteration collectives, identical results
+    everywhere.
+
+    update(sstate, mlp, points_imu[S,3], mask, rot0, pos0, rest0, P,
+           travel, cur_ts, window) -> (rot, pos, rest, P, ok, n_iter)
+    """
+    S = mesh.shape[axis]
+    C = cached_body.n_cand
+    dense_update = cached_body.dense_update
+    rep_specs_state = jax.tree.map(lambda _: P(axis), nm.init_map(2, 2, 1))
+
+    @jax.jit
+    def update(
+        sstate, mlp, points_imu, mask, rot0, pos0, rest0, Pm,
+        travel, cur_ts, window,
+    ):
+        def body(
+            sstate, mlp, points_imu, mask, rot0, pos0, rest0, Pm,
+            travel, cur_ts, window,
+        ):
+            st = _local(sstate)
+            my = jax.lax.axis_index(axis)
+            pc0 = points_imu @ rot0.T + pos0
+            kd2, h_sel, _ = _partial_knn(
+                st, pc0, C, nb_offs=nb_offs, resolution=resolution,
+                max_valid_dist2=max_valid_dist2, travel_dist=travel,
+                cur_ts=cur_ts, window=window, time_filtering=True,
+            )
+            n = pc0.shape[0]
+            all_d2 = jax.lax.all_gather(kd2, axis)  # [S,N,C]
+            flat = jnp.transpose(all_d2, (1, 0, 2)).reshape(n, S * C)
+            negg, selg = jax.lax.top_k(-flat, C)
+            cd2 = -negg
+            win_shard = selg // C
+            win_slot = selg % C
+            cvalid = cd2 < _FAR
+            mine = cvalid & (win_shard == my)
+            slot = jnp.where(mine, win_slot, 0)
+            my_h = jnp.take_along_axis(h_sel, slot, axis=1)
+            cap = nm.map_capacity(st)
+            idx_local = st.hash_table[my_h]
+            mine = mine & (idx_local >= 0)
+            safe = jnp.where(mine, idx_local, cap)
+            feats = st.geo_feats[safe]
+            if layer_norm:
+                mu = jnp.mean(feats, axis=-1, keepdims=True)
+                var = jnp.var(feats, axis=-1, keepdims=True)
+                feats = (feats - mu) * jax.lax.rsqrt(var + 1e-5)
+            feats = jnp.where(mine[..., None], feats, 0.0)
+            pos = jnp.where(mine[..., None], st.positions[safe], 0.0)
+            ok_ch = mine[..., None].astype(jnp.float32)
+            payload = jnp.concatenate([pos, feats, ok_ch], axis=-1)
+            payload = jax.lax.psum(payload, axis)  # [N,C,3+F+1]
+            cand_pos = payload[..., :3]
+            cand_feat = payload[..., 3:-1]
+            cand_valid = payload[..., -1] > 0.5
+            # replicated dense iterations (no further collectives)
+            return dense_update(
+                (cand_pos, cand_feat, cand_valid, None), mlp,
+                points_imu, mask, rot0, pos0, rest0, Pm,
+            )
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(rep_specs_state,) + (P(),) * 10,
+            out_specs=(P(),) * 6,
+            check_vma=False,  # replicated by construction (see query_fn)
+        )(sstate, mlp, points_imu, mask, rot0, pos0, rest0, Pm,
+          travel, cur_ts, window)
+
+    return update
+
+
+def make_sharded_certainty_fn(
+    mesh: Mesh,
+    *,
+    resolution: float,
+    max_valid_dist2: float,
+    axis: str = "sp",
+):
+    """query_certainty_max over the union of shards (novelty gating)."""
+    from ..ops.voxel import neighbor_offsets
+
+    nb = neighbor_offsets(1, 0.0)
+    rep_specs_state = jax.tree.map(lambda _: P(axis), nm.init_map(2, 2, 1))
+
+    @jax.jit
+    def certainty(sstate, points):
+        def body(sstate, points):
+            st = _local(sstate)
+            c = nm.query_certainty_max(
+                st, points, resolution, max_valid_dist2
+            )
+            return jax.lax.pmax(c, axis)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(rep_specs_state, P()),
+            out_specs=P(),
+        )(sstate, points)
+
+    return certainty
 
 
 def total_count(sstate: nm.NeuralMapState) -> int:

@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency benchmark of the sharded mapping step over
+1/2/4/8 virtual CPU devices — the stand-in for the >=75% 1->2-host
+north star (no multi-chip hardware in this environment; the mesh,
+shardings, and collectives are identical on a real pod, only the
+interconnect differs).
+
+Measures the full sharded map-optimization step (10 Adam iterations,
+bs=4096) at a fixed total workload while the map capacity scales with
+devices, plus the per-batch collective-traffic model.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     PYTHONPATH=.:/root/.axon_site python scripts/bench_scaling.py
+Prints one JSON line: {"scaling": {...}}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from clid_slam_tpu.mapping import pool as pl
+from clid_slam_tpu.models import decoder as dec
+from clid_slam_tpu.ops.voxel import neighbor_offsets
+from clid_slam_tpu.parallel import spatial as sp
+
+RES = 0.3
+F = 8
+BS = 4096
+ITERS = 10
+
+
+def setup_pool(rng, m=65536):
+    pool = pl.init_pool(1 << 17, 512)
+    return pl.append_samples(
+        pool,
+        jnp.asarray(rng.uniform(-8, 8, (m, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, m).astype(np.float32)),
+        jnp.ones((m,), jnp.float32),
+        jnp.ones((m,), bool),
+        0,
+        jnp.zeros((m,), bool),
+    )
+
+
+def main():
+    rng = np.random.default_rng(0)
+    nb = neighbor_offsets(2, 0.5)
+    mvd2 = 3.0 * (3 * RES) ** 2
+    mlp = dec.init_mlp(jax.random.PRNGKey(0), F + 3, 64, 1)
+    pool = setup_pool(rng)
+    pts = rng.uniform(-8, 8, size=(40000, 3)).astype(np.float32)
+    travel = jnp.zeros((8,), jnp.float32)
+
+    results = {}
+    for n_dev in (1, 2, 4, 8):
+        mesh = sp.make_spatial_mesh(n_dev)
+        insert_fn, query_fn, mapping_fn = sp.make_spatial_fns(
+            mesh, feature_dim=F, knn_k=6, nb_offs=nb, resolution=RES,
+            max_valid_dist2=mvd2, sdf_scale=0.055, sigma=0.055, bs=BS,
+            bs_new=0, gradient_decimation=8, num_grad_eps=RES * 0.2,
+            weight_e=0.5, loss_weight_on=True, lr=0.01,
+        )
+        # map capacity scales with devices (fixed per-shard slab)
+        sstate = sp.init_sharded_map(mesh, 1 << 15, 1 << 17, F)
+        sstate, _ = insert_fn(
+            sstate, jnp.asarray(pts), jnp.ones((len(pts),), bool),
+            travel, 0, 1e9,
+        )
+
+        def step(s, key):
+            return mapping_fn(
+                s, mlp, pool, travel, 0, 1e9, key, ITERS, 1.0
+            )
+
+        # warmup/compile
+        sstate, _, losses = step(sstate, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses)
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            sstate, _, losses = step(sstate, jax.random.PRNGKey(i))
+            jax.block_until_ready(losses)
+            ts.append(time.perf_counter() - t0)
+        med = float(np.median(ts))
+        results[str(n_dev)] = {
+            "step_ms": round(med * 1e3, 2),
+            "points": sp.total_count(sstate),
+        }
+        print(f"# {n_dev} devices: {med*1e3:.1f} ms/step, "
+              f"{sp.total_count(sstate)} points", file=sys.stderr)
+
+    t1 = results["1"]["step_ms"]
+    for k, v in results.items():
+        v["efficiency_vs_1dev"] = round(t1 / v["step_ms"], 3)
+    old_b, new_b = sp.collective_bytes_per_query(nb.shape[0], 6, F)
+    out = {
+        "scaling": results,
+        "collective_bytes_per_query": {
+            "r2_full_candidate_psum": old_b,
+            "partial_knn_exchange": new_b,
+            "reduction": round(old_b / new_b, 2),
+        },
+        "note": (
+            "virtual CPU mesh (8 local devices); same program/mesh on a "
+            "TPU pod — step here is compute-dominated, so efficiency "
+            "reflects sharding overhead, not ICI"
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
