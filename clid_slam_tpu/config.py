@@ -203,6 +203,8 @@ class Config:
     sdf_default_on: bool = False
     sdfslice_freq_frame: int = 1
     sdf_slice_height: float = -1.0
+    # also write the vertical (y-z) SDF slice (utils/config.py:344)
+    vis_sdf_slice_v: bool = False
     vis_sdf_res_m: float = 0.2
     eval_traj_align: bool = True
     mc_res_m: float = 0.1
@@ -482,6 +484,7 @@ class Config:
         c.sdf_default_on = e.get("sdf_default_on", c.sdf_default_on)
         c.sdfslice_freq_frame = e.get("sdf_freq_frame", c.sdfslice_freq_frame)
         c.sdf_slice_height = e.get("sdf_slice_height", c.sdf_slice_height)
+        c.vis_sdf_slice_v = e.get("vis_sdf_slice_v", c.vis_sdf_slice_v)
         c.mesh_default_on = e.get("mesh_default_on", c.mesh_default_on)
         c.mesh_min_nn = e.get("mesh_min_nn", c.mesh_min_nn)
         c.skip_top_voxel = e.get("skip_top_voxel", c.skip_top_voxel)

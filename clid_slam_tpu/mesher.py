@@ -287,6 +287,34 @@ class Mesher:
         sdf, ok = self.query_sdf_points(map_state, mlp, pts)
         return pts, sdf, ok
 
+    def sdf_slice_vertical(
+        self,
+        map_state,
+        mlp,
+        center: np.ndarray,
+        extent: float,
+        slice_x: float,
+        res: float,
+        z_lo: float = None,
+        z_hi: float = None,
+    ):
+        """Vertical SDF slice at world x = slice_x (the reference's
+        get_query_from_ver_slice, utils/mesher.py:246-279: a y-z grid
+        with the x dimension collapsed to the slice plane). Returns
+        (points [N,3], sdf [N], valid [N])."""
+        ys = np.arange(center[1] - extent, center[1] + extent, res)
+        if z_lo is None:
+            z_lo = center[2] - extent
+        if z_hi is None:
+            z_hi = center[2] + extent
+        zs = np.arange(z_lo, z_hi, res)
+        gy, gz = np.meshgrid(ys, zs, indexing="ij")
+        pts = np.stack(
+            [np.full(gy.size, slice_x), gy.ravel(), gz.ravel()], -1
+        ).astype(np.float32)
+        sdf, ok = self.query_sdf_points(map_state, mlp, pts)
+        return pts, sdf, ok
+
 
 def filter_mesh_vertices(
     verts: np.ndarray, tris: np.ndarray, keep: np.ndarray

@@ -169,6 +169,12 @@ class SlamSystem:
         self.run_path = os.path.join(cfg.output_root, cfg.run_name or "run")
         self._build_query_fns(rotate_vecs=False)
         self.stats: list = []
+        # runtime steering (pause / mesh-now / cadence overrides) — the
+        # headless ControlPacket equivalent (gui/gui_utils.py:180-220)
+        from .control import ControlChannel
+
+        self.control = ControlChannel(self.run_path)
+        self.stop_requested = False
 
     def _build_query_fns(self, rotate_vecs: bool):
         """(Re)build every jitted function that queries the neural map.
@@ -527,6 +533,15 @@ class SlamSystem:
         cfg = self.cfg
         d = self.dataset
         self._ensure_capacity(frame_id)
+        ctl = self.control.poll()
+        if ctl.stop:
+            self.stop_requested = True
+        if "mesh_res_m" in ctl.overrides:
+            cfg.mc_res_m = float(ctl.overrides["mesh_res_m"])
+        if "mesh_freq_frame" in ctl.overrides:
+            cfg.mesh_freq_frame = int(ctl.overrides["mesh_freq_frame"])
+        if "sdfslice_freq_frame" in ctl.overrides:
+            cfg.sdfslice_freq_frame = int(ctl.overrides["sdfslice_freq_frame"])
         st = FrameStats(frame_id=frame_id)
         t0 = time.perf_counter()
 
@@ -600,13 +615,16 @@ class SlamSystem:
         # periodic in-loop reconstruction artifacts (reference
         # slam.py:247-321 ships these to the GUI; headless we write PLYs)
         t_mesh = 0.0
-        if cfg.mesh_default_on and (
-            frame_id == 0 or (frame_id + 1) % cfg.mesh_freq_frame == 0
+        if ctl.mesh_now or (
+            cfg.mesh_default_on
+            and (frame_id == 0 or (frame_id + 1) % cfg.mesh_freq_frame == 0)
         ):
             self._write_local_mesh(frame_id)
             t_mesh += time.perf_counter() - t4
-        if cfg.sdf_default_on and (
-            frame_id == 0 or (frame_id + 1) % cfg.sdfslice_freq_frame == 0
+        if ctl.slice_now or (
+            cfg.sdf_default_on
+            and (frame_id == 0
+                 or (frame_id + 1) % cfg.sdfslice_freq_frame == 0)
         ):
             self._write_sdf_slice(frame_id)
             t_mesh = time.perf_counter() - t4
@@ -668,25 +686,40 @@ class SlamSystem:
 
     def _write_sdf_slice(self, frame_id: int):
         """Horizontal SDF slice (reference slam.py:293-308 semantics:
-        half max_range extent at pose height + slice offset)."""
+        half max_range extent at pose height + slice offset), plus the
+        vertical y-z slice through the pose when vis_sdf_slice_v is set
+        (utils/mesher.py:246-279)."""
         cfg = self.cfg
         center = self.dataset.cur_pose_ref[:3, 3]
-        pts, sdf, ok = self.mesher.sdf_slice(
-            self.map_state,
-            self.mlp,
-            center,
-            cfg.max_range / 2.0,
-            float(center[2]) + cfg.sdf_slice_height,
-            cfg.vis_sdf_res_m,
-        )
-        if ok.any():
+        slices = [
+            ("slice", self.mesher.sdf_slice(
+                self.map_state,
+                self.mlp,
+                center,
+                cfg.max_range / 2.0,
+                float(center[2]) + cfg.sdf_slice_height,
+                cfg.vis_sdf_res_m,
+            ))
+        ]
+        if cfg.vis_sdf_slice_v:
+            slices.append(("slice_v", self.mesher.sdf_slice_vertical(
+                self.map_state,
+                self.mlp,
+                center,
+                cfg.max_range / 2.0,
+                float(center[0]),
+                cfg.vis_sdf_res_m,
+            )))
+        for name, (pts, sdf, ok) in slices:
+            if not ok.any():
+                continue
             os.makedirs(os.path.join(self.run_path, "sdf_slice"), exist_ok=True)
             bound = cfg.surface_sample_range_m * 4.0
             c = np.clip((sdf[ok] + bound) / (2 * bound), 0, 1)
             colors = np.stack([c, np.zeros_like(c), 1.0 - c], -1)
             io.write_ply(
                 os.path.join(
-                    self.run_path, "sdf_slice", f"slice_{frame_id}.ply"
+                    self.run_path, "sdf_slice", f"{name}_{frame_id}.ply"
                 ),
                 pts[ok],
                 colors=colors,
@@ -739,7 +772,19 @@ class SlamSystem:
         if cfg.save_map:
             self.save_checkpoint(os.path.join(run_path, "map_checkpoint.npz"))
             pts = np.asarray(self.map_state.positions[:n])
-            io.write_ply(os.path.join(run_path, "neural_points.ply"), pts)
+            # PCA-colored features (the GUI's neural-point view,
+            # utils/tools.py:858-923 + gui/slam_gui.py feature mode)
+            colors = None
+            if n > 8:
+                from ..utils.plots import feature_pca_colors
+
+                colors, _ = feature_pca_colors(
+                    np.asarray(self.map_state.geo_feats[:n])
+                )
+            io.write_ply(
+                os.path.join(run_path, "neural_points.ply"), pts,
+                colors=colors,
+            )
         if cfg.save_mesh and n > 0:
             pts = np.asarray(self.map_state.positions[:n])
             v, t = self.mesher.recon_aabb_mesh(
@@ -924,6 +969,9 @@ def run_slam(config_path: str, dataset_name=None, sequence_name=None, seed=None)
     n = system.dataset.total_pc_count
     for frame_id in range(n):
         st = system.process_frame(frame_id)
+        if system.stop_requested:
+            print(f"control channel: stop requested at frame {frame_id}")
+            break
         if not cfg.silence:
             t = sum(st.timings.values())
             print(

@@ -178,6 +178,23 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         for fp in (False, True)
     }
 
+    dyn_filter = None
+    if cfg.dynamic_filter_on:
+        from ..mapping.dynamic_filter import make_dynamic_filter_fn
+
+        dyn_filter = make_dynamic_filter_fn(
+            knn_k=cfg.query_nn_k,
+            nb_offs=nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            certainty_thre=cfg.dynamic_certainty_thre,
+            sdf_ratio_thre=cfg.dynamic_sdf_ratio_thre,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+            encode_vecs=encode_vecs,
+        )
+
     def _orthonormalize(R):
         """Project an almost-rotation back to SO(3) (Gram-Schmidt; the f32
         while_loop drifts the determinant by ~1e-6/frame)."""
@@ -311,6 +328,15 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
                 )
                 last_pose = pose
 
+            # ---- dynamic-object filter (slam.py:170-176: frame>0 only) —
+            # drop measurements landing in confidently-observed free space
+            if dyn_filter is not None and track:
+                world = points @ pose[:3, :3].T + pose[:3, 3]
+                train_mask = dyn_filter(
+                    state.map_state, state.mlp, world, train_mask,
+                    travel_dist, frame_id, window,
+                )
+
             # ---- map prep, gated by tracking validity (slam.py:167-181:
             # a lost/stopped frame must not corrupt the map)
             valid_mapping = ~lose_track & ~stop_status
@@ -403,6 +429,63 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
     }
 
 
+def make_ba_step(cfg: Config, nb_offs, encode_vecs):
+    """Sliding-window bundle adjustment as a zero-readback device step:
+    refine the last ``ba_frame`` poses + map features, write the corrected
+    poses back into the on-device trajectory, and re-express the replay
+    pool's world coords (the classic loop's _bundle_adjust, slam.py
+    equivalent of utils/mapper.py:866-965 + :323-327, without any host
+    readback)."""
+    from ..mapping import pool as pl
+    from ..mapping.bundle_adjustment import make_ba_fn
+
+    w = cfg.ba_frame
+    max_valid_dist2 = 3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
+    ba_fn = make_ba_fn(
+        feature_dim=cfg.feature_dim,
+        knn_k=cfg.query_nn_k,
+        nb_offs=nb_offs,
+        resolution=cfg.voxel_size_m,
+        max_valid_dist2=max_valid_dist2,
+        sdf_scale=cfg.sdf_scale,
+        window_size=w,
+        ba_bs=cfg.ba_bs,
+        lr_pose=cfg.lr_pose,
+        lr_map=cfg.lr,
+        adam_eps=cfg.adam_eps,
+        mlp_leaky=cfg.mlp_leaky_relu,
+        mlp_bf16=cfg.mlp_bf16,
+        encode_vecs=encode_vecs,
+    )
+
+    @jax.jit
+    def ba_step(state: StreamState, frame_id) -> StreamState:
+        lo = jnp.maximum(frame_id - w + 1, 0)
+        poses0 = jax.lax.dynamic_slice(
+            state.odom_poses, (lo, 0, 0), (w, 4, 4)
+        )
+        key, k = jax.random.split(state.key)
+        map_state, new_poses, _ = ba_fn(
+            state.map_state, state.mlp, state.pool, poses0, lo,
+            state.travel_dist, frame_id, cfg.diff_travel_dist_local,
+            k, cfg.ba_iters,
+        )
+        odom_old = state.odom_poses
+        odom = jax.lax.dynamic_update_slice(odom_old, new_poses, (lo, 0, 0))
+        pool = pl.retransform_coords(state.pool, odom_old, odom)
+        # BA corrects the mapping trajectory, not the IESEKF nominal state
+        # (the reference keeps the filter untouched as well)
+        return state._replace(
+            map_state=map_state,
+            odom_poses=odom,
+            pool=pool,
+            last_pose=odom[frame_id],
+            key=key,
+        )
+
+    return ba_step
+
+
 class StreamingSlam:
     """Host driver for the zero-readback loop. Mirrors SlamSystem's
     surface (process_frame / finalize) but never reads device state inside
@@ -422,6 +505,11 @@ class StreamingSlam:
         )
         self.steps = make_frame_step(
             cfg, self.nb_offs, self.encode_vecs, total_frames=total_frames
+        )
+        self._ba_step = (
+            make_ba_step(cfg, self.nb_offs, self.encode_vecs)
+            if cfg.ba_freq_frame > 0
+            else None
         )
         self.dataset = SLAMDataset(cfg, tracker=None, min_frames=total_frames)
         self._init_state()
@@ -603,6 +691,19 @@ class StreamingSlam:
         imu_rows = np.zeros((self.imu_max_rows, 7), np.float32)
         imu_count = 0
         if imu_window is not None and len(imu_window):
+            if len(imu_window) > self.imu_max_rows:
+                # static [K,7] bucket (imu_max_rows covers 100-640 Hz IMU
+                # at 10 Hz LiDAR); dropping rows silently would corrupt
+                # the propagation — warn loudly once per frame
+                import warnings
+
+                warnings.warn(
+                    f"frame {frame_id}: IMU window has {len(imu_window)} "
+                    f"rows, truncating to imu_max_rows="
+                    f"{self.imu_max_rows}; raise StreamingSlam."
+                    f"imu_max_rows to cover your IMU rate",
+                    RuntimeWarning,
+                )
             k = min(len(imu_window), self.imu_max_rows)
             imu_rows[:k] = imu_window[:k]
             imu_count = k
@@ -629,6 +730,16 @@ class StreamingSlam:
             jnp.asarray(mlp_scale, jnp.float32),
             jnp.asarray(frame_id > cfg.freeze_after_frame),
         )
+
+        # sliding-window BA cadence (separate executable, zero readbacks)
+        if (
+            self._ba_step is not None
+            and frame_id >= cfg.ba_frame
+            and (frame_id + 1) % cfg.ba_freq_frame == 0
+        ):
+            self.state = self._ba_step(
+                self.state, jnp.asarray(frame_id, jnp.int32)
+            )
 
         # prune cadence (separate executable, still zero readbacks)
         if (

@@ -66,3 +66,30 @@ def plot_trajectory(est_poses, gt_poses, path: str):
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return True
+
+
+def feature_pca_colors(
+    feats: np.ndarray,
+    principal_components: np.ndarray = None,
+    down_rate: int = 1,
+):
+    """Project per-point latent features onto their top-3 principal
+    components and normalize to RGB in [0,1] — the reference's neural-point
+    feature visualization (utils/tools.py:858-923: center, covariance
+    eigendecomposition, 2%/98% quantile normalization).
+
+    Returns (colors [N,3], principal_components [D,3]); pass the
+    components back in to color further batches consistently."""
+    feats = np.asarray(feats, np.float64)
+    n = feats.shape[0]
+    centered = feats - feats.mean(0)
+    if principal_components is None:
+        sub = centered[::down_rate]
+        cov = sub.T @ sub / max(n - 1, 1)
+        eigval, eigvec = np.linalg.eigh(cov)  # ascending
+        principal_components = eigvec[:, ::-1][:, :3]
+    proj = centered @ principal_components
+    lo = np.quantile(proj[::37] if n > 37 * 4 else proj, 0.02, axis=0)
+    hi = np.quantile(proj[::37] if n > 37 * 4 else proj, 0.98, axis=0)
+    colors = (proj - lo) / np.maximum(hi - lo, 1e-12)
+    return np.clip(colors, 0.0, 1.0), principal_components
