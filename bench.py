@@ -1,29 +1,40 @@
 #!/usr/bin/env python3
-"""Benchmark: full SLAM loop (IMU + IESEKF tracking + neural mapping) on a
-synthetic LiDAR-inertial sequence at production sizes.
+"""Benchmark: full SLAM loop (IMU + IESEKF tracking + neural mapping) on
+synthetic LiDAR-inertial sequences at two scales, with a per-stage
+device-time breakdown and an MFU estimate.
 
 Prints ONE JSON line:
-  {"metric": "scans_per_sec", "value": N, "unit": "scans/s", "vs_baseline": R}
+  {"metric": "scans_per_sec", "value": N, "unit": "scans/s",
+   "vs_baseline": R, "extra": {...}}
 
-vs_baseline is against the reference's real-time budget of 10 scans/s
-(100 ms/frame on an RTX 4090 — utils/tools.py:948, BASELINE.md). For an
-apples-to-apples accuracy bar, scripts/run_reference_cpu.py runs the
-REFERENCE engine (torch, CPU) on this exact sequence: it reports
-ATE RMSE 0.111 m at 3.09 s/frame (12 CPU threads).
+- headline value = the LARGE-scale run (200 frames, 100 m hall, 1e5+
+  neural points, prune + window cadences firing — the ncd128-like
+  workload); the small 25-frame room run is in extra["small"].
+- vs_baseline is against the reference's real-time budget of 10 scans/s
+  (100 ms/frame on an RTX 4090 — utils/tools.py:948, BASELINE.md).
+- extra["reference_cpu*"]: the UNMODIFIED reference engine (torch, CPU,
+  scripts/run_reference_cpu.py) on the identical sequences.
+- extra["scaling"]: sharded mapping step over 1/2/4/8 virtual devices
+  (subprocess, scripts/bench_scaling.py) + collective-traffic model.
 
-Default path: the zero-readback streaming loop (pipeline/streaming.py) —
-one fused jitted step per frame, all variants AOT-compiled before frame 0.
-`python bench.py N --classic` runs the host-driven SlamSystem loop instead.
+Default path: the zero-readback streaming loop (pipeline/streaming.py).
+Flags: --classic (host-driven loop), --small-only / --large-only,
+--no-scaling, --no-stages.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+TOTAL_FRAMES = 232  # one static trajectory-shape bucket for both scales
 
-def build_config():
+
+def build_config(large: bool = False):
     from clid_slam_tpu.config import Config
 
     cfg = Config()
@@ -52,122 +63,371 @@ def build_config():
     cfg.local_map_hash_size = 1 << 21
     cfg.max_scan_points = 1 << 15
     cfg.max_source_points = 1 << 13
-    cfg.pool_capacity = 1 << 21
-    # the sliding window (60 m) moves ~0.1 m/frame: filtering the pool
-    # every frame is pure overhead (O(pool) compaction)
+    cfg.pool_capacity = 1 << 22 if large else 1 << 21
+    # the sliding window moves slowly: filtering the pool every frame is
+    # pure overhead (O(pool) compaction)
     cfg.pool_filter_freq = 10
+    cfg.prune_map_on = large  # prune/rehash cadence fires at scale
+    cfg.prune_freq_frame = 50
     cfg.track_on = True
     cfg.silence = True
     cfg._derive()
-    cfg.diff_travel_dist_local = 1e9
+    if not large:
+        cfg.diff_travel_dist_local = 1e9
     return cfg
 
 
-def main():
+def make_sequence(large: bool, n_frames: int):
+    from clid_slam_tpu.pipeline.synthetic import (
+        SyntheticWorld, generate_sequence, large_world,
+    )
+
+    if large:
+        rng = np.random.default_rng(11)
+        world = large_world(rng, room_radius=50.0, n_pillars=24)
+        return generate_sequence(
+            n_frames=n_frames, n_azimuth=1024, n_elev=32, noise_std=0.01,
+            radius=32.0, period_frames=400.0, seed=3, world=world,
+        )
+    return generate_sequence(
+        n_frames=n_frames, n_azimuth=1024, n_elev=32, noise_std=0.01, seed=3
+    )
+
+
+def run_streaming(cfg, seq, n_frames, warmup, label):
     import jax
 
-    from clid_slam_tpu.pipeline.synthetic import generate_sequence
+    from clid_slam_tpu.pipeline.streaming import StreamingSlam
     from clid_slam_tpu.utils import metrics
+
+    w = 2 * np.pi / (400.0 if label == "large" else 20.0) / 0.1
+    # tangential velocity = r * omega
+    r = np.linalg.norm(seq.poses[0][:2, 3])
+    vel0 = seq.poses[0][:3, :3] @ np.array([r * w * 0.1, 0, 0])
+    # (omega in rad/frame / frame_dt); recompute directly for robustness:
+    w_rad_s = 2 * np.pi / ((400.0 if label == "large" else 20.0) * 0.1)
+    vel0 = seq.poses[0][:3, :3] @ np.array([r * w_rad_s, 0, 0])
+
+    system = StreamingSlam(cfg, total_frames=TOTAL_FRAMES)
+    system.seed_pose(seq.poses[0][:3, :3], seq.poses[0][:3, 3], vel0)
+    t0 = time.perf_counter()
+    system.precompile()
+    precompile_s = time.perf_counter() - t0
+    print(f"# [{label}] precompile: {precompile_s:.1f} s", file=sys.stderr)
+    for i in range(min(warmup, n_frames)):
+        t0 = time.perf_counter()
+        system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+        system.block()
+        print(
+            f"# [{label}] frame {i}: "
+            f"{(time.perf_counter()-t0)*1e3:.1f} ms",
+            file=sys.stderr,
+        )
+    system.block()
+    t0 = time.perf_counter()
+    for i in range(warmup, n_frames):
+        system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    system.block()
+    t1 = time.perf_counter()
+    measured = max(n_frames - warmup, 1)
+    med = (t1 - t0) / measured
+    out = system.sync()
+    est = out["odom_poses"][:n_frames]
+    m = metrics.absolute_error(est, seq.poses[:n_frames], align=False)
+    print(
+        f"# [{label}] steady: {measured} frames, {med*1e3:.1f} ms/frame, "
+        f"ATE {m['ate_rmse_m']:.4f} m, points {out['neural_points']}",
+        file=sys.stderr,
+    )
+    return {
+        "scans_per_sec": round(1.0 / med, 3),
+        "median_frame_ms": round(med * 1e3, 2),
+        "ate_rmse_m": round(m["ate_rmse_m"], 4),
+        "are_rmse_deg": round(m["are_rmse_deg"], 3),
+        "neural_points": int(out["neural_points"]),
+        "frames": n_frames,
+        "precompile_s": round(precompile_s, 1),
+    }, system
+
+
+def run_classic(cfg, seq, n_frames, warmup, label):
+    from clid_slam_tpu.pipeline.slam import SlamSystem
+    from clid_slam_tpu.utils import metrics
+
+    w_rad_s = 2 * np.pi / ((400.0 if label == "large" else 20.0) * 0.1)
+    r = np.linalg.norm(seq.poses[0][:2, 3])
+    vel0 = seq.poses[0][:3, :3] @ np.array([r * w_rad_s, 0, 0])
+    system = SlamSystem(cfg, total_frames=TOTAL_FRAMES)
+    system.tracker.x.pos = seq.poses[0][:3, 3].copy()
+    system.tracker.x.rot = seq.poses[0][:3, :3].copy()
+    system.tracker.x.vel = vel0
+    times = []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        st = system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+        t1 = time.perf_counter()
+        if i >= warmup:
+            times.append(t1 - t0)
+        print(
+            f"# [{label}/classic] frame {i}: {(t1-t0)*1e3:.1f} ms "
+            f"(track {st.timings.get('tracking',0)*1e3:.1f}, "
+            f"prep {st.timings.get('map_prep',0)*1e3:.1f}, "
+            f"opt {st.timings.get('map_opt',0)*1e3:.1f})",
+            file=sys.stderr,
+        )
+    med = float(np.median(times)) if times else 0.0
+    est = system.dataset.odom_poses[:n_frames]
+    m = metrics.absolute_error(est, seq.poses[:n_frames], align=False)
+    return {
+        "scans_per_sec": round(1.0 / med, 3) if med else 0.0,
+        "median_frame_ms": round(med * 1e3, 2),
+        "ate_rmse_m": round(m["ate_rmse_m"], 4),
+        "neural_points": int(system.map_state.count),
+        "frames": n_frames,
+    }, system
+
+
+def stage_breakdown(system, seq, label):
+    """Device-time split of the fused frame: time the tracking / prep /
+    mapping bodies as standalone executables on the steady-state system
+    snapshot. Each standalone call carries one dispatch (~20 ms on the
+    tunneled runtime); the deltas between configurations isolate it."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from clid_slam_tpu.mapping import mapper as mp
+    from clid_slam_tpu.mapping import prep as prp
+    from clid_slam_tpu.odometry import iekf
+    from clid_slam_tpu.ops.voxel import voxel_down_sample_mask
+
+    cfg = system.cfg
+    st = system.state
+    fid = jnp.asarray(system.processed - 1, jnp.int32)
+    window = cfg.diff_travel_dist_local
+    mvd2 = 3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
+
+    def timeit(fn, *args, n=8):
+        r = fn(*args)
+        jax.block_until_ready(jax.tree.leaves(r)[0])
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            jax.block_until_ready(jax.tree.leaves(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts) * 1e3)
+
+    # trivial call measures pure dispatch
+    f_nop = jax.jit(lambda x: x + 1.0)
+    t_dispatch = timeit(f_nop, jnp.zeros((8,), jnp.float32))
+
+    pts = seq.scans[-1]
+    buf = np.zeros((cfg.max_scan_points, 3), np.float32)
+    n = min(len(pts), cfg.max_scan_points)
+    buf[:n] = pts[:n, :3]
+    points = jnp.asarray(buf)
+    pmask = jnp.arange(cfg.max_scan_points) < n
+    pose = st.odom_poses[system.processed - 1]
+
+    @jax.jit
+    def f_source(points, pmask):
+        tm = voxel_down_sample_mask(
+            points, pmask, cfg.vox_down_m, cfg.map_hash_size
+        )
+        sm = voxel_down_sample_mask(
+            points, tm, cfg.source_vox_down_m, cfg.map_hash_size
+        )
+        n_src = jnp.sum(sm.astype(jnp.int32))
+        (si,) = jnp.nonzero(sm, size=cfg.max_source_points, fill_value=0)
+        return tm, points[si], jnp.arange(cfg.max_source_points) < n_src
+
+    train_mask, src_pts, smask = f_source(points, pmask)
+
+    upd = jax.jit(iekf.make_cached_update_fn(
+        knn_k=cfg.query_nn_k,
+        n_cand=cfg.track_n_cand or max(16, cfg.query_nn_k * 2),
+        nb_offs=system.nb_offs, resolution=cfg.voxel_size_m,
+        max_valid_dist2=mvd2, sdf_scale=cfg.sdf_scale,
+        min_grad_norm=cfg.reg_min_grad_norm,
+        max_grad_norm=cfg.reg_max_grad_norm,
+        min_nn_count=cfg.track_mask_query_nn_k,
+        max_iteration=cfg.reg_iter_n,
+        term_thre_deg=cfg.reg_term_thre_deg,
+        term_thre_m=cfg.reg_term_thre_m,
+        encode_vecs=system.encode_vecs,
+        weighted_first=cfg.weighted_first,
+        layer_norm=cfg.layer_norm_on,
+        max_sdf_std=cfg.surface_sample_range_m * cfg.max_sdf_std_ratio,
+        stagnation_iter=cfg.stagnation_iter,
+    ))
+    t_track = timeit(
+        upd, st.map_state, st.mlp, src_pts, smask, st.rot, st.pos,
+        st.rest, st.P, st.travel_dist, fid, window,
+    )
+
+    prep = prp.make_prep_fn(
+        resolution=cfg.voxel_size_m,
+        local_resolution=cfg.local_voxel_size_m,
+        local_map_size=cfg.local_map_size,
+        window_radius=cfg.window_radius,
+        surface_sample_range_m=cfg.surface_sample_range_m,
+        surface_sample_n=cfg.surface_sample_n,
+        free_front_n=cfg.free_front_n,
+        free_behind_n=cfg.free_behind_n,
+        free_sample_begin_ratio=cfg.free_sample_begin_ratio,
+        free_sample_end_dist_m=cfg.free_sample_end_dist_m,
+        max_range=cfg.max_range,
+        dist_weight_on=cfg.dist_weight_on,
+        dist_weight_scale=cfg.dist_weight_scale,
+        map_surface_ratio=cfg.map_surface_ratio,
+        from_sample_points=cfg.from_sample_points,
+        new_certainty_thre=cfg.new_certainty_thre,
+        novelty_on=cfg.bs_new_sample > 0,
+        filter_pool_now=False,
+    )
+    key = jax.random.PRNGKey(0)
+    t_prep = timeit(
+        lambda: prep(
+            *(jax.tree.map(jnp.copy, (st.map_state, st.local_map, st.pool))),
+            key, points, train_mask, pose, st.travel_dist, fid, window,
+            None, None,
+        )
+    )
+
+    mapping_fn = mp.make_mapping_fn(
+        feature_dim=cfg.feature_dim, knn_k=cfg.query_nn_k,
+        nb_offs=system.nb_offs, resolution=cfg.voxel_size_m,
+        max_valid_dist2=mvd2, sdf_scale=cfg.sdf_scale, sigma=cfg.sdf_scale,
+        bs=cfg.bs, bs_new=cfg.bs_new_sample,
+        gradient_decimation=cfg.gradient_decimation,
+        num_grad_eps=cfg.num_grad_eps, weight_e=cfg.weight_e,
+        loss_weight_on=cfg.loss_weight_on, lr=cfg.lr,
+        adam_eps=cfg.adam_eps, encode_vecs=system.encode_vecs,
+        weighted_first=cfg.weighted_first, layer_norm=cfg.layer_norm_on,
+        resample_every=cfg.map_resample_every,
+    )
+    t_map = timeit(
+        lambda: mapping_fn(
+            jax.tree.map(jnp.copy, st.map_state), st.mlp, st.color_mlp,
+            st.sem_mlp, st.pool, st.travel_dist, fid, window, key,
+            jnp.asarray(cfg.iters, jnp.int32), jnp.asarray(1.0, jnp.float32),
+        )
+    )
+    return {
+        "dispatch_ms": round(t_dispatch, 2),
+        "tracking_ms": round(t_track, 2),
+        "prep_ms": round(t_prep, 2),
+        "mapping_ms": round(t_map, 2),
+        "note": (
+            "standalone executables on the steady-state snapshot; each "
+            "carries one dispatch (dispatch_ms); the production path "
+            "fuses all three into one call"
+        ),
+    }
+
+
+def mfu_estimate(cfg, frame_ms):
+    """Useful-FLOP model of one steady frame vs the chip's peak.
+
+    Counts only MXU-shaped work (decoder matmuls over the mapping batch,
+    taps, and tracking iterations). The workload is gather/scatter-bound
+    by design — MFU is reported to make that explicit, not to flatter."""
+    d_in = cfg.feature_dim + cfg.position_dim
+    h = cfg.geo_mlp_hidden_dim
+    mlp_flops = 2 * (d_in * h + h)  # fwd MACs*2 per sample
+    per_iter = cfg.bs * mlp_flops * 3  # fwd+bwd ~3x fwd
+    taps = 6 * (cfg.bs // cfg.gradient_decimation) * mlp_flops * 3
+    mapping = cfg.iters * (per_iter + taps)
+    tracking = 10 * cfg.max_source_points * mlp_flops * 3  # ~10 iters
+    total = mapping + tracking
+    peak = 197e12 / 2  # v5e bf16 peak / 2 for f32-precision matmuls
+    return {
+        "useful_flops_per_frame": int(total),
+        "mfu_pct": round(100.0 * total / (frame_ms * 1e-3) / peak, 4),
+        "note": "gather-bound workload; MXU work is a tiny fraction",
+    }
+
+
+def main():
+    os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     classic = "--classic" in sys.argv
-    n_frames = int(args[0]) if args else 25
-    warmup = 10
+    small_only = "--small-only" in sys.argv
+    large_only = "--large-only" in sys.argv
+    no_scaling = "--no-scaling" in sys.argv
+    no_stages = "--no-stages" in sys.argv
 
-    cfg = build_config()
-    seq = generate_sequence(
-        n_frames=n_frames, n_azimuth=1024, n_elev=32, noise_std=0.01, seed=3
-    )
-    w = 2 * np.pi / 20.0
-    vel0 = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+    extra = {
+        "device": str(jax.devices()[0]),
+        "mode": "classic" if classic else "streaming",
+    }
 
-    if classic:
-        from clid_slam_tpu.pipeline.slam import SlamSystem
+    runner = run_classic if classic else run_streaming
 
-        system = SlamSystem(cfg, total_frames=n_frames + 8)
-        system.tracker.x.pos = seq.poses[0][:3, 3].copy()
-        system.tracker.x.rot = seq.poses[0][:3, :3].copy()
-        system.tracker.x.vel = vel0.copy()
-        frame_times = []
-        for i in range(n_frames):
-            t0 = time.perf_counter()
-            st = system.process_frame(i, seq.scans[i], seq.imu_windows[i])
-            t1 = time.perf_counter()
-            if i >= warmup:
-                frame_times.append(t1 - t0)
-            print(
-                f"# frame {i}: {(t1-t0)*1e3:.1f} ms "
-                f"(track {st.timings.get('tracking',0)*1e3:.1f}, "
-                f"prep {st.timings.get('map_prep',0)*1e3:.1f}, "
-                f"opt {st.timings.get('map_opt',0)*1e3:.1f}) "
-                f"ok={st.tracking_ok} it={st.track_iters}",
-                file=sys.stderr,
-            )
-        med = float(np.median(frame_times))
-        est = system.dataset.odom_poses[:n_frames]
-        n_points = int(system.map_state.count)
-        extra_mode = "classic"
+    if not large_only:
+        n_small = int(args[0]) if args else 25
+        cfg = build_config(large=False)
+        seq = make_sequence(False, n_small)
+        extra["small"], _ = runner(cfg, seq, n_small, 10, "small")
+        extra["small"]["reference_cpu"] = {
+            "ate_rmse_m_mean3seed": 0.1178,
+            "ate_rmse_m_seeds": [0.1195, 0.1413, 0.0926],
+            "median_frame_ms": 3091.0,
+            "harness": "scripts/run_reference_cpu.py --frames 25",
+        }
+
+    if not small_only:
+        n_large = 200
+        cfg = build_config(large=True)
+        seq = make_sequence(True, n_large)
+        extra["large"], system = runner(cfg, seq, n_large, 10, "large")
+        if not no_stages and not classic:
+            try:
+                extra["large"]["stage_breakdown"] = stage_breakdown(
+                    system, seq, "large"
+                )
+            except Exception as e:  # breakdown is best-effort telemetry
+                extra["large"]["stage_breakdown"] = {"error": str(e)[:200]}
+        extra["large"]["mfu"] = mfu_estimate(
+            cfg, extra["large"]["median_frame_ms"]
+        )
+        head = extra["large"]
     else:
-        from clid_slam_tpu.pipeline.streaming import StreamingSlam
+        head = extra["small"]
 
-        system = StreamingSlam(cfg, total_frames=n_frames + 8)
-        system.seed_pose(seq.poses[0][:3, :3], seq.poses[0][:3, 3], vel0)
-        t0 = time.perf_counter()
-        system.precompile()
-        print(
-            f"# precompile: {time.perf_counter()-t0:.1f} s", file=sys.stderr
-        )
-        # warmup frames (map bootstrap; frame 0 runs 400 init iters)
-        for i in range(min(warmup, n_frames)):
-            t0 = time.perf_counter()
-            system.process_frame(i, seq.scans[i], seq.imu_windows[i])
-            system.block()
-            print(
-                f"# frame {i}: {(time.perf_counter()-t0)*1e3:.1f} ms",
-                file=sys.stderr,
+    if not no_scaling:
+        try:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts/bench_scaling.py")],
+                capture_output=True, text=True, timeout=1200, env=env,
             )
-        # measured window: enqueue everything, block once
-        system.block()
-        t0 = time.perf_counter()
-        for i in range(warmup, n_frames):
-            system.process_frame(i, seq.scans[i], seq.imu_windows[i])
-        system.block()
-        t1 = time.perf_counter()
-        measured = max(n_frames - warmup, 1)
-        med = (t1 - t0) / measured
-        out = system.sync()
-        print(
-            f"# steady window: {measured} frames in {t1-t0:.2f} s "
-            f"({med*1e3:.1f} ms/frame)  track_iters="
-            f"{out['track_iters'][warmup:].tolist()}",
-            file=sys.stderr,
-        )
-        est = out["odom_poses"][:n_frames]
-        n_points = out["neural_points"]
-        extra_mode = "streaming"
+            extra["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            extra["scaling"] = {"error": str(e)[:200]}
 
-    m = metrics.absolute_error(est, seq.poses[:n_frames], align=False)
-    print(f"# ATE RMSE: {m['ate_rmse_m']:.4f} m", file=sys.stderr)
-
-    fps = 1.0 / med
+    fps = head["scans_per_sec"]
     print(
         json.dumps(
             {
                 "metric": "scans_per_sec",
-                "value": round(fps, 3),
+                "value": fps,
                 "unit": "scans/s",
                 "vs_baseline": round(fps / 10.0, 3),
-                "extra": {
-                    "median_frame_ms": round(med * 1e3, 2),
-                    "ate_rmse_m": round(m["ate_rmse_m"], 4),
-                    "neural_points": n_points,
-                    "mode": extra_mode,
-                    "reference_cpu": {
-                        "ate_rmse_m": 0.1108,
-                        "median_frame_ms": 3091.0,
-                    },
-                    "device": str(jax.devices()[0]),
-                },
+                "extra": extra,
             }
         )
     )

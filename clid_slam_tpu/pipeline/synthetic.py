@@ -133,6 +133,24 @@ class SyntheticSequence:
     world: SyntheticWorld
 
 
+def large_world(rng, room_radius: float = 50.0, n_pillars: int = 24,
+                floor_z: float = -1.8, ceil_z: float = 6.0) -> SyntheticWorld:
+    """A production-scale environment: a big hall scattered with pillars
+    (ncd128-like extents — 60 m range config sees walls and dozens of
+    obstacles; the map grows to 1e5+ neural points with pruning firing)."""
+    pillars = []
+    for _ in range(n_pillars):
+        r = rng.uniform(6.0, room_radius - 4.0)
+        th = rng.uniform(0, 2 * np.pi)
+        pillars.append(
+            (r * np.cos(th), r * np.sin(th), rng.uniform(0.4, 2.2))
+        )
+    return SyntheticWorld(
+        room_radius=room_radius, floor_z=floor_z, ceil_z=ceil_z,
+        pillars=pillars,
+    )
+
+
 def generate_sequence(
     n_frames: int = 30,
     n_azimuth: int = 128,
@@ -144,9 +162,11 @@ def generate_sequence(
     period_frames: float = 200.0,
     seed: int = 0,
     ramp_frames: float = 0.0,
+    world: SyntheticWorld = None,
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
-    world = SyntheticWorld()
+    if world is None:
+        world = SyntheticWorld()
     poses, omegas, accels = circular_trajectory(
         n_frames, radius, period_frames, frame_dt, ramp_frames
     )
