@@ -1,0 +1,96 @@
+"""Runtime control channel + new vis artifacts (vertical SDF slice,
+PCA feature colors)."""
+
+import json
+import os
+
+import numpy as np
+
+from clid_slam_tpu.pipeline.control import ControlChannel
+from clid_slam_tpu.utils.plots import feature_pca_colors
+
+
+def test_control_channel_roundtrip(tmp_path):
+    ch = ControlChannel(str(tmp_path))
+    st = ch.poll()
+    assert not st.stop and not st.mesh_now
+
+    with open(os.path.join(str(tmp_path), "control.json"), "w") as f:
+        json.dump({"mesh_now": True, "mesh_res_m": 0.05}, f)
+    st = ch.poll()
+    assert st.mesh_now
+    assert st.overrides["mesh_res_m"] == 0.05
+    # one-shot: consumed
+    st = ch.poll()
+    assert not st.mesh_now
+    assert st.overrides["mesh_res_m"] == 0.05  # override persists
+
+    with open(os.path.join(str(tmp_path), "control.json"), "w") as f:
+        json.dump({"stop": True}, f)
+    st = ch.poll()
+    assert st.stop
+
+
+def test_control_pause_released(tmp_path):
+    import threading, time
+
+    ch = ControlChannel(str(tmp_path))
+    p = os.path.join(str(tmp_path), "control.json")
+    with open(p, "w") as f:
+        json.dump({"pause": True}, f)
+
+    def release():
+        time.sleep(0.5)
+        with open(p, "w") as f:
+            json.dump({"pause": False}, f)
+
+    t = threading.Thread(target=release)
+    t.start()
+    t0 = time.time()
+    st = ch.poll()  # blocks until released
+    t.join()
+    assert time.time() - t0 >= 0.4
+    assert not st.pause
+
+
+def test_feature_pca_colors(rng):
+    feats = rng.normal(size=(500, 8)).astype(np.float32)
+    colors, pcs = feature_pca_colors(feats)
+    assert colors.shape == (500, 3)
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+    assert pcs.shape == (8, 3)
+    # consistent projection with precomputed components
+    c2, _ = feature_pca_colors(feats, principal_components=pcs)
+    np.testing.assert_allclose(colors, c2, atol=1e-9)
+
+
+def test_vertical_sdf_slice(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from clid_slam_tpu.mesher import Mesher
+    from clid_slam_tpu.models import decoder as dec
+    from clid_slam_tpu.models import neural_map as nm
+    from clid_slam_tpu.ops.voxel import neighbor_offsets
+
+    res = 0.3
+    pts = rng.uniform(-2, 2, size=(1500, 3)).astype(np.float32)
+    state = nm.init_map(1 << 12, 1 << 14, 8)
+    state, _ = nm.insert_points(
+        state, jnp.asarray(pts), jnp.ones((1500,), bool), res,
+        jnp.zeros((4,), jnp.float32), 0, 1e9,
+    )
+    mlp = dec.init_mlp(jax.random.PRNGKey(0), 11, 32, 1)
+    nb = neighbor_offsets(2, 0.5)
+    mesher = Mesher(
+        knn_k=6, nb_offs=nb, resolution=res,
+        max_valid_dist2=3.0 * (3 * res) ** 2, sdf_scale=0.055,
+        mesh_min_nn=6, feature_dim=8,
+    )
+    p, sdf, ok = mesher.sdf_slice_vertical(
+        state, mlp, np.zeros(3), 1.5, 0.0, 0.25
+    )
+    assert ok.any()
+    # every returned point lies on the x = 0 plane
+    np.testing.assert_allclose(p[:, 0], 0.0)
+    assert np.isfinite(sdf[ok]).all()
