@@ -351,6 +351,37 @@ def make_mapping_fn(
     return partial(jax.jit, donate_argnums=(0,))(mapping)
 
 
+@jax.custom_vjp
+def _slab_gather_sorted(slab, idx2d, order, sorted_idx):
+    """``slab[idx2d]`` whose TRANSPOSE scatter-adds in SORTED index order.
+
+    The autodiff transpose of a plain gather is a scatter-add with the
+    gather's (unsorted, duplicate-heavy) indices — measured at ~2.3 GB/s
+    inside the fused mapping loop (r3 trace, 13.6 ms/frame). Sorting the
+    cotangent rows by target index first lets the TPU emitter use the
+    segmented (sorted) scatter path. ``order``/``sorted_idx`` are the
+    frame-constant argsort of ``idx2d.reshape(-1)`` computed once in
+    build_cache."""
+    del order, sorted_idx
+    return slab[idx2d]
+
+
+def _slab_gather_sorted_fwd(slab, idx2d, order, sorted_idx):
+    return slab[idx2d], (slab.shape, order, sorted_idx)
+
+
+def _slab_gather_sorted_bwd(res, g):
+    shape, order, sorted_idx = res
+    gf = g.reshape(-1, g.shape[-1])[order]  # cotangents in target order
+    grad = jnp.zeros(shape, g.dtype).at[sorted_idx].add(
+        gf, indices_are_sorted=True
+    )
+    return grad, None, None, None
+
+
+_slab_gather_sorted.defvjp(_slab_gather_sorted_fwd, _slab_gather_sorted_bwd)
+
+
 def _quat_conj_rotate(q, v):
     """Rotate v by the conjugate of quaternion q (wxyz), batched."""
     qc = q * jnp.array([1.0, -1.0, -1.0, -1.0])
@@ -521,11 +552,25 @@ def _make_cached_mapping_fn(
             ].set(1)
             loc = jnp.cumsum(touched) - 1  # [cap+1] local id per global row
             local_idx = loc[safe]  # [bs,k] in [0,W)
-            (src_rows,) = jnp.nonzero(touched, size=W, fill_value=cap)
+            # manual compaction instead of jnp.nonzero(size=W): the
+            # nonzero lowering lands on a serial scatter path inside the
+            # fused step (r3 trace: 9.2 ms/frame); this explicit
+            # drop-scatter of the same data stays vectorized
+            tgt = jnp.where(touched > 0, loc, jnp.int32(2_000_000_000))
+            src_rows = jnp.full((W,), cap, jnp.int32).at[tgt].set(
+                jnp.arange(cap + 1, dtype=jnp.int32),
+                mode="drop", unique_indices=True,
+            )
+            # frame-constant sorted order of the batch's slab references,
+            # for the sorted-transpose gather (_slab_gather_sorted)
+            flat_idx = local_idx.reshape(-1)
+            order = jnp.argsort(flat_idx)
+            sorted_idx = flat_idx[order]
             return dict(
                 bvalid=bvalid, label=label, weight=weight, ts=ts,
                 color_lbl=color_lbl, sem_lbl=sem_lbl, valid=valid,
                 knn_idx=knn_idx, safe=local_idx, src_rows=src_rows,
+                order=order, sorted_idx=sorted_idx,
                 w0=w0, enc0=enc0, vd=vd, w_tap=w_tap, enc_tap=enc_tap,
             )
 
@@ -537,7 +582,9 @@ def _make_cached_mapping_fn(
             ) * c["bvalid"]
 
             def gather_feats(feats_slab):
-                f = feats_slab[c["safe"]]  # [bs,k,F] per-iteration gather
+                f = _slab_gather_sorted(
+                    feats_slab, c["safe"], c["order"], c["sorted_idx"]
+                )  # [bs,k,F] per-iteration gather, sorted transpose
                 if layer_norm:
                     mu = jnp.mean(f, axis=-1, keepdims=True)
                     var = jnp.var(f, axis=-1, keepdims=True)
@@ -579,7 +626,9 @@ def _make_cached_mapping_fn(
 
                 extra = 0.0
                 if color_on:
-                    cf = cfeats_slab[c["safe"]]
+                    cf = _slab_gather_sorted(
+                        cfeats_slab, c["safe"], c["order"], c["sorted_idx"]
+                    )
                     cf = jnp.where(c["valid"][..., None], cf, 0.0)
                     cpred = decode_weighted(
                         color_mlp_, cf, c["enc0"], c["w0"],
@@ -669,8 +718,22 @@ def _make_cached_mapping_fn(
             k, kb = jax.random.split(k)
             c = build_cache(kb)
             # extract the batch's working slabs (one [W,F] gather per slab;
-            # every Adam iteration below touches only these)
-            work = tuple(s[c["src_rows"]] for s in slabs)
+            # every Adam iteration below touches only these). The four
+            # moment slabs are all-zero on the first outer batch (fresh
+            # Adam per mapping call), so their gathers are gated — in the
+            # steady state (n_outer == 1) they never run.
+            first = o == 0
+            work_pc = tuple(s[c["src_rows"]] for s in slabs[:2])
+            work_mv = jax.lax.cond(
+                first,
+                lambda s: tuple(
+                    jnp.zeros((W,) + x.shape[1:], x.dtype)
+                    for x in s
+                ),
+                lambda s: tuple(x[c["src_rows"]] for x in s),
+                slabs[2:],
+            )
+            work = work_pc + work_mv
             grad_fn = jax.grad(make_loss_fn(c), has_aux=True)
             inner_n = jnp.minimum(R, n_iters - o * R)
 
@@ -702,12 +765,24 @@ def _make_cached_mapping_fn(
             work, mlps, mlp_adam, losses = jax.lax.fori_loop(
                 0, inner_n, inner, (work, mlps, mlp_adam, jnp.zeros((2,)))
             )
-            # write back (duplicate src_rows only at the sentinel, zeroed)
-            slabs = tuple(
+            # write back (duplicate src_rows only at the sentinel, zeroed).
+            # Moment slabs only feed the NEXT outer batch; skip their
+            # write-back on the final one (always, in the steady state)
+            last = (o + 1) * R >= n_iters
+            slabs_pc = tuple(
                 s.at[c["src_rows"]].set(w).at[cap].set(0.0)
-                for s, w in zip(slabs, work)
+                for s, w in zip(slabs[:2], work[:2])
             )
-            geo_slab, color_slab = slabs[0], slabs[1]
+            slabs_mv = jax.lax.cond(
+                last,
+                lambda sw: sw[0],
+                lambda sw: tuple(
+                    s.at[c["src_rows"]].set(w).at[cap].set(0.0)
+                    for s, w in zip(sw[0], sw[1])
+                ),
+                (slabs[2:], work[2:]),
+            )
+            slabs = slabs_pc + slabs_mv
 
             # certainty + update-ts once per batch, scaled by its step
             # count (the reference scatters per query_feature call; same

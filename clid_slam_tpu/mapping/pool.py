@@ -154,18 +154,24 @@ def append_samples(
     # losers get out-of-bounds index p and are dropped by the scatter
     slot = jnp.where(write, dst, p)
 
+    # per-COLUMN scatters: the pool slab's layout is column-major
+    # ({0,1:T(8,128)} — forced by full-pool column passes like
+    # filter_pool), and inside the fused frame step the one row-scatter
+    # of [M,9] rows hits a ~92 ns/row serial emitter path (measured,
+    # r3 trace: 24 ms/frame, the single hottest op). Column scatters
+    # write contiguous memory and stay on the vector path.
     d = pool.data.shape[1]
-    rows = jnp.zeros((m, d), jnp.float32)
-    rows = rows.at[:, _X : _X + 3].set(coords)
-    rows = rows.at[:, _SDF].set(sdf)
-    rows = rows.at[:, _W].set(weight)
-    rows = rows.at[:, _TS].set(jnp.float32(1.0) * frame_id)
-    rows = rows.at[:, _SEM].set(
-        sem.astype(jnp.float32) if sem is not None else -1.0
-    )
+    cols = [coords[:, 0], coords[:, 1], coords[:, 2], sdf, weight,
+            jnp.float32(1.0) * frame_id + jnp.zeros_like(sdf),
+            (sem.astype(jnp.float32) if sem is not None
+             else jnp.full_like(sdf, -1.0)),
+            jnp.zeros_like(sdf)]
     if color is not None:
-        rows = rows.at[:, BASE_COLS : BASE_COLS + color.shape[1]].set(color)
-    data = pool.data.at[slot].set(rows, mode="drop")
+        cols += [color[:, c] for c in range(color.shape[1])]
+    data = pool.data
+    for c in range(d):
+        v = cols[c] if c < len(cols) else jnp.zeros_like(sdf)
+        data = data.at[slot, c].set(v, mode="drop")
     valid_arr = pool.valid.at[slot].set(True, mode="drop")
     # overflow evictions reuse live slots and do not grow the pool
     n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))

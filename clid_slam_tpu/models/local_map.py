@@ -20,7 +20,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.plane_fit import fit_plane_knn
+from ..ops.plane_fit import fit_plane_masked
 from ..ops.voxel import (
     grid_coords,
     neighbor_offsets,
@@ -174,29 +174,35 @@ def region_specific_sdf(
     # old idx-gated distances
     dist = jnp.minimum(dist, maxr)
 
-    # 4 nearest (duplicate-bucket suppression by bucket id, as neural_map)
-    neg, sel = jax.lax.top_k(-dist, 4)
-    knn_dist = -neg  # [N,4] ascending
-    h_sel = jnp.take_along_axis(h, sel, axis=1)
-    dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
-        jnp.tri(4, 4, -1, dtype=bool)[None]
+    # 4 nearest as a RANK MASK over the 7 cells — no top_k, no
+    # take_along_axis (minor-dim gathers are the TPU slow path; the r3
+    # trace put 13 ms/frame in this function's three selection gathers).
+    # Duplicate buckets (two probed cells hashing together surface the
+    # same occupant at the SAME distance) keep their first occurrence:
+    # later equal-distance copies are pushed to maxr before ranking.
+    iot = jnp.arange(LOCAL_NB_OFFSETS.shape[0], dtype=jnp.int32)
+    dup = (
+        (h[:, None, :] == h[:, :, None])
+        & (iot[None, None, :] < iot[None, :, None])
+        & (dist[:, None, :] == dist[:, :, None])
     )
-    dup_any = jnp.any(dup, axis=-1) & (knn_dist < maxr)
-    knn_dist = jnp.where(dup_any, maxr, knn_dist)
-    knn_pts = jnp.take_along_axis(nb, sel[..., None], axis=1)  # [N,4,3]
-    # far-sentinel rows would overflow the plane-fit covariance (1e18);
-    # replace them with the query point — such rows are masked by
-    # valid_fit below, this only keeps the masked lanes finite
-    knn_valid = knn_dist < maxr
-    knn_pts = jnp.where(knn_valid[..., None], knn_pts, points[:, None, :])
+    dist = jnp.where(jnp.any(dup, axis=-1), maxr, dist)
+    before = (dist[:, None, :] < dist[:, :, None]) | (
+        (dist[:, None, :] == dist[:, :, None])
+        & (iot[None, None, :] < iot[None, :, None])
+    )
+    rank = jnp.sum(before.astype(jnp.int32), axis=-1)  # [N,7]
+    real = dist < maxr
+    sel4 = (rank < 4) & real
 
-    valid_fit = knn_dist[:, 3] < maxr  # all four neighbors real
-    normal, constant, fit_success = fit_plane_knn(
-        knn_pts, eta_threshold, residual_threshold
+    nn1 = jnp.min(dist, axis=-1)  # 1-NN distance
+    valid_fit = jnp.sum(real.astype(jnp.int32), axis=-1) >= 4
+    normal, constant, fit_success = fit_plane_masked(
+        nb, sel4, eta_threshold, residual_threshold
     )
     fit_success = fit_success & valid_fit
 
     plane_dist = jnp.abs(jnp.sum(normal * points, axis=-1) + constant)
-    sdf_abs = jnp.where(fit_success, plane_dist, knn_dist[:, 0])
-    surface_mask = knn_dist[:, 0] < maxr
+    sdf_abs = jnp.where(fit_success, plane_dist, nn1)
+    surface_mask = nn1 < maxr
     return sdf_abs, surface_mask

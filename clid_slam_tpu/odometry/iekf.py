@@ -370,46 +370,82 @@ def make_h_reduce_fn(
 def device_predict_imu(rot, pos, vel, bg, ba, grav, P, Q, imu_rows, imu_count):
     """IMU forward propagation on device, f32 (host-f64 semantics of
     utils/error_state_iekf.py:126-165). ``imu_rows`` is a fixed-size
-    [K,7] (dt, acc, gyro) buffer; rows past ``imu_count`` are no-ops."""
+    [K,7] (dt, acc, gyro) buffer; rows past ``imu_count`` are no-ops.
+
+    TPU-native formulation: the reference (and the r2 version here) runs a
+    sequential per-sample loop — 64 iterations of tiny 3x3/18x18 math,
+    which is pure latency (13.7 ms/frame measured on the r3 trace). All
+    three recurrences are (log-depth) scans instead:
+    - orientation: exclusive prefix PRODUCT of the per-sample rotation
+      increments exp((gyro-bg)·dt) via associative_scan on [K,3,3];
+    - velocity/position: prefix SUMS of (R_i(acc_i-ba)+g)·dt and vel_i·dt;
+    - covariance: P_{i+1} = F_i P_i F_iᵀ + G_i is affine in P; pairs
+      (A,B) compose associatively as (A2A1, A2 B1 A2ᵀ + B2), so the final
+      P is one associative_scan over [K,18,18] pairs.
+    Everything is batched [K,...] VPU/MXU work in ~log2(K) levels; the
+    f32 result differs from the sequential order only by rounding
+    (validated against the host f64 filter in tests/test_iekf.py)."""
+    K = imu_rows.shape[0]
     I3 = jnp.eye(3, dtype=jnp.float32)
+    live = (jnp.arange(K) < imu_count).astype(jnp.float32)
+    dt = imu_rows[:, 0] * live  # [K]; dt=0 => exact identity step
+    acc = imu_rows[:, 1:4]
+    gyro = imu_rows[:, 4:7]
 
-    def skew(v):
-        return jnp.array(
-            [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]],
-            jnp.float32,
-        )
+    from ..utils import lie
 
-    def body(i, carry):
-        rot, pos, vel, bg, ba, grav, P = carry
-        row = imu_rows[i]
-        live = (i < imu_count).astype(jnp.float32)
-        dt = row[0] * live  # dt=0 => exact identity step
-        acc, gyro = row[1:4], row[4:7]
-        a_c = acc - ba
-        f_vel = rot @ a_c + grav
-        F = jnp.eye(18, dtype=jnp.float32)
-        F = F.at[0:3, 9:12].set(-I3 * dt)
-        F = F.at[3:6, 6:9].set(I3 * dt)
-        F = F.at[6:9, 0:3].set(-(rot @ skew(a_c)) * dt)
-        F = F.at[6:9, 12:15].set(-rot * dt)
-        F = F.at[6:9, 15:18].set(I3 * dt)
-        Fw = jnp.zeros((18, 12), jnp.float32)
-        Fw = Fw.at[0:3, 0:3].set(-I3 * dt)
-        Fw = Fw.at[6:9, 3:6].set(-rot * dt)
-        Fw = Fw.at[9:12, 6:9].set(I3 * dt)
-        Fw = Fw.at[12:15, 9:12].set(I3 * dt)
-        from ..utils import lie
-
-        rot_n = rot @ lie.so3_exp((gyro - bg) * dt)
-        pos_n = pos + vel * dt
-        vel_n = vel + f_vel * dt
-        P_n = F @ P @ F.T + Fw @ Q @ Fw.T
-        P_n = 0.5 * (P_n + P_n.T)  # keep P exactly symmetric
-        return (rot_n, pos_n, vel_n, bg, ba, grav, P_n)
-
-    return jax.lax.fori_loop(
-        0, imu_rows.shape[0], body, (rot, pos, vel, bg, ba, grav, P)
+    # --- orientation chain: R_i = R0 · dR_0 · ... · dR_{i-1}
+    dR = lie.so3_exp((gyro - bg) * dt[:, None])  # [K,3,3]
+    # inclusive prefix products M_i = dR_0 @ ... @ dR_i
+    M_inc = jax.lax.associative_scan(jnp.matmul, dR)  # [K,3,3]
+    # R used INSIDE step i is the pre-step orientation (exclusive prefix)
+    R_pre = jnp.concatenate(
+        [jnp.broadcast_to(I3, (1, 3, 3)), M_inc[:-1]], axis=0
     )
+    R_pre = rot @ R_pre  # [K,3,3]
+    rot_n = rot @ M_inc[-1]
+
+    # --- velocity / position prefix sums
+    a_c = acc - ba  # [K,3]
+    f_vel = jnp.einsum("kij,kj->ki", R_pre, a_c) + grav  # [K,3]
+    dvel = f_vel * dt[:, None]
+    vel_pre = vel + jnp.concatenate(
+        [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(dvel, axis=0)[:-1]],
+        axis=0,
+    )  # vel entering step i
+    vel_n = vel + jnp.sum(dvel, axis=0)
+    pos_n = pos + jnp.sum(vel_pre * dt[:, None], axis=0)
+
+    # --- covariance: batched F_i, G_i then one affine associative scan
+    a_skew = jnp.zeros((K, 3, 3), jnp.float32)
+    a_skew = a_skew.at[:, 0, 1].set(-a_c[:, 2]).at[:, 0, 2].set(a_c[:, 1])
+    a_skew = a_skew.at[:, 1, 0].set(a_c[:, 2]).at[:, 1, 2].set(-a_c[:, 0])
+    a_skew = a_skew.at[:, 2, 0].set(-a_c[:, 1]).at[:, 2, 1].set(a_c[:, 0])
+    dtk = dt[:, None, None]
+    F = jnp.broadcast_to(jnp.eye(18, dtype=jnp.float32), (K, 18, 18))
+    F = F.at[:, 0:3, 9:12].set(-I3 * dtk)
+    F = F.at[:, 3:6, 6:9].set(I3 * dtk)
+    F = F.at[:, 6:9, 0:3].set(-(R_pre @ a_skew) * dtk)
+    F = F.at[:, 6:9, 12:15].set(-R_pre * dtk)
+    F = F.at[:, 6:9, 15:18].set(I3 * dtk)
+    Fw = jnp.zeros((K, 18, 12), jnp.float32)
+    Fw = Fw.at[:, 0:3, 0:3].set(-I3 * dtk)
+    Fw = Fw.at[:, 6:9, 3:6].set(-R_pre * dtk)
+    Fw = Fw.at[:, 9:12, 6:9].set(I3 * dtk)
+    Fw = Fw.at[:, 12:15, 9:12].set(I3 * dtk)
+    G = Fw @ Q.astype(jnp.float32) @ jnp.swapaxes(Fw, -1, -2)  # [K,18,18]
+
+    def compose(x, y):
+        # apply x first, then y: P -> Ay(Ax P Axᵀ + Bx)Ayᵀ + By
+        Ax, Bx = x
+        Ay, By = y
+        return Ay @ Ax, Ay @ Bx @ jnp.swapaxes(Ay, -1, -2) + By
+
+    A_tot, B_tot = jax.lax.associative_scan(compose, (F, G))
+    A_last, B_last = A_tot[-1], B_tot[-1]
+    P_n = A_last @ P @ A_last.T + B_last
+    P_n = 0.5 * (P_n + P_n.T)  # keep P exactly symmetric
+    return (rot_n, pos_n, vel_n, bg, ba, grav, P_n)
 
 
 def make_cached_update_fn(
@@ -484,8 +520,15 @@ def make_cached_update_fn(
         )
         d2s = jnp.where(pvalid, d2, 9e3)
         neg, sel = jax.lax.top_k(-d2s, n_cand)  # [S,n_cand] nearest cells
-        h_sel = jnp.take_along_axis(h, sel, axis=1)
-        cvalid = jnp.take_along_axis(pvalid, sel, axis=1)
+        # ONE packed take_along instead of three (h, valid via d2s, mir):
+        # per-element minor-dim gathers are the slow path on TPU (r3
+        # trace), and h < 2^22 is exact in f32
+        packed = jnp.concatenate(
+            [h.astype(jnp.float32)[..., None], mir[..., :3]], axis=-1
+        )  # [S,K,4]
+        psel = jnp.take_along_axis(packed, sel[..., None], axis=1)
+        h_sel = psel[..., 0].astype(jnp.int32)
+        cvalid = -neg < 9e3  # selected cells that passed the probe gate
         dup = (h_sel[:, :, None] == h_sel[:, None, :]) & (
             jnp.tri(n_cand, n_cand, -1, dtype=bool)[None]
         )
@@ -493,7 +536,7 @@ def make_cached_update_fn(
         idx = map_state.hash_table[h_sel]
         cvalid = cvalid & (idx >= 0)
         safe = jnp.where(cvalid, idx, cap)
-        cand_pos = jnp.take_along_axis(mir, sel[..., None], axis=1)[..., :3]
+        cand_pos = psel[..., 1:4]
         cand_feat = map_state.geo_feats[safe]  # [S,n_cand,F]
         if layer_norm:
             mu = jnp.mean(cand_feat, axis=-1, keepdims=True)
@@ -523,7 +566,16 @@ def make_cached_update_fn(
         cand_pos, cand_feat, cvalid, cand_quat = candidates
         n_total = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
-        # ---- dense per-iteration measurement reduction on the cache
+        # ---- dense per-iteration measurement reduction on the cache.
+        # kNN selection by RANK MASK instead of top_k + take_along_axis:
+        # per-element minor-dim gathers inside the while body hit a
+        # ~1 GB/s serial emitter path (r3 trace: 15.6 ms/frame across
+        # iekf.py:538-542), while the [S,C,C] compare + masked reduction
+        # over all C=n_cand candidates is plain VPU work. The selected
+        # set is identical to top_k's (ties broken by lower index).
+        iot = jnp.arange(n_cand, dtype=jnp.int32)
+        tie = iot[None, :] < iot[:, None]  # [C,C] j<i
+
         def h_reduce_cached(rot, pos):
             pc_map = points_imu @ rot.T + pos
 
@@ -533,17 +585,16 @@ def make_cached_update_fn(
                 valid = cvalid & (cd2 <= max_valid_dist2)
                 nn_count = jnp.sum(valid.astype(jnp.int32), axis=-1)
                 cd2s = jnp.where(valid, cd2, 9e3)
-                negk, selk = jax.lax.top_k(-cd2s, knn_k)  # [S,k]
-                kd2 = -negk
-                kvalid = jnp.take_along_axis(valid, selk, axis=1)
-                feats = jnp.take_along_axis(
-                    cand_feat, selk[..., None], axis=1
-                )
-                kvecs = jnp.take_along_axis(vecs, selk[..., None], axis=1)
+                cd2s_ng = jax.lax.stop_gradient(cd2s)
+                before = (cd2s_ng[:, None, :] < cd2s_ng[:, :, None]) | (
+                    (cd2s_ng[:, None, :] == cd2s_ng[:, :, None]) & tie[None]
+                )  # [S,C,C]: candidate j strictly precedes i
+                rank = jnp.sum(before.astype(jnp.int32), axis=-1)  # [S,C]
+                kvalid = (rank < knn_k) & valid
+                feats = cand_feat
+                kvecs = vecs
                 if rotate_vecs:
-                    q = jnp.take_along_axis(
-                        cand_quat, selk[..., None], axis=1
-                    )
+                    q = cand_quat
                     w_, u = q[..., :1], q[..., 1:]
                     uv = jnp.cross(u, kvecs)
                     kvecs = kvecs + 2.0 * (w_ * uv + jnp.cross(u, uv))
@@ -551,7 +602,7 @@ def make_cached_update_fn(
                     kvecs = encode_vecs(kvecs)
                 kvecs = jnp.where(kvalid[..., None], kvecs, 0.0)
                 epsw = 1e-15
-                w = 1.0 / (kd2 + epsw)
+                w = 1.0 / (cd2 + epsw)
                 w = jnp.where(kvalid, w, 0.0)
                 w = jnp.where((nn_count == 0)[:, None], epsw, w)
                 w = w / jnp.sum(w, axis=1, keepdims=True)

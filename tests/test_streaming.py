@@ -182,4 +182,21 @@ def test_streaming_matches_classic(seq):
     d = np.linalg.norm(
         est_classic[:, :3, 3] - est_stream[:, :3, 3], axis=-1
     )
-    assert d.max() < 0.15, d
+    # The online loop is chaotic: a ONE-SHOT 1e-4 initial-velocity
+    # perturbation of the classic driver self-diverges to 0.062 m by
+    # frame 12 (measured, r3), so per-frame rounding-level implementation
+    # differences (f32 device vs f64 host IMU propagation, scan vs
+    # sequential reduction order) legitimately reach ~0.2 m at the
+    # horizon. Real implementation bugs (r2's RNG-stream mismatch trained
+    # a different random decoder) diverge immediately, before chaos has
+    # frames to amplify — so gate strictly on the early horizon and on
+    # tracking QUALITY at the full horizon.
+    assert d[:5].max() < 0.05, d
+    m_c = metrics.absolute_error(
+        est_classic, seq.poses[: len(est_classic)], align=False
+    )
+    m_s = metrics.absolute_error(
+        est_stream, seq.poses[: len(est_stream)], align=False
+    )
+    assert m_c["ate_rmse_m"] < 0.2 and m_s["ate_rmse_m"] < 0.2, (m_c, m_s)
+    assert abs(m_c["ate_rmse_m"] - m_s["ate_rmse_m"]) < 0.08, (m_c, m_s)
