@@ -566,12 +566,20 @@ def _make_cached_mapping_fn(
             flat_idx = local_idx.reshape(-1)
             order = jnp.argsort(flat_idx)
             sorted_idx = flat_idx[order]
+            # the encoded-vector half of every feature is frame-constant
+            # (it never depends on the trainable features), so its
+            # IDW-weighted sum is hoisted out of the Adam loop entirely
+            # (weighted_first path; decode-then-weight still needs the
+            # per-neighbor tensors)
+            encw0 = jnp.sum(enc0 * w0[..., None], axis=1)  # [bs,P]
+            enc_tapw = jnp.sum(enc_tap * w_tap[..., None], axis=2)
             return dict(
                 bvalid=bvalid, label=label, weight=weight, ts=ts,
                 color_lbl=color_lbl, sem_lbl=sem_lbl, valid=valid,
                 knn_idx=knn_idx, safe=local_idx, src_rows=src_rows,
                 order=order, sorted_idx=sorted_idx,
-                w0=w0, enc0=enc0, vd=vd, w_tap=w_tap, enc_tap=enc_tap,
+                w0=w0, enc0=enc0, encw0=encw0, vd=vd,
+                w_tap=w_tap, enc_tap=enc_tap, enc_tapw=enc_tapw,
             )
 
         def make_loss_fn(c):
@@ -591,11 +599,20 @@ def _make_cached_mapping_fn(
                     f = (f - mu) * jax.lax.rsqrt(var + 1e-5)
                 return jnp.where(c["valid"][..., None], f, 0.0)
 
-            def decode_weighted(mlp_, feats, enc, w, head=dec.sdf, **kw):
-                fv = jnp.concatenate([feats, enc], axis=-1)
+            def decode_weighted(
+                mlp_, feats, enc, w, head=dec.sdf, encw=None, **kw
+            ):
                 if weighted_first:
-                    feat = jnp.sum(fv * w[..., None], axis=-2)
+                    # pre-weighted encoded half (frame-constant, hoisted)
+                    fw = jnp.sum(feats * w[..., None], axis=-2)
+                    ew = (
+                        encw
+                        if encw is not None
+                        else jnp.sum(enc * w[..., None], axis=-2)
+                    )
+                    feat = jnp.concatenate([fw, ew], axis=-1)
                     return head(mlp_, feat, **kw)
+                fv = jnp.concatenate([feats, enc], axis=-1)
                 pred_k = head(mlp_, fv, **kw)
                 if pred_k.ndim == w.ndim:  # scalar head
                     return jnp.sum(pred_k * w, axis=-1)
@@ -606,6 +623,7 @@ def _make_cached_mapping_fn(
                 feats = gather_feats(feats_slab)
                 pred = decode_weighted(
                     mlp_, feats, c["enc0"], c["w0"], head=dec.sdf,
+                    encw=c["encw0"],
                     sdf_scale=sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16,
                 )
                 bce = optax.sigmoid_binary_cross_entropy(
@@ -632,7 +650,8 @@ def _make_cached_mapping_fn(
                     cf = jnp.where(c["valid"][..., None], cf, 0.0)
                     cpred = decode_weighted(
                         color_mlp_, cf, c["enc0"], c["w0"],
-                        head=_color_head, leaky=mlp_leaky, bf16=mlp_bf16,
+                        head=_color_head, encw=c["encw0"],
+                        leaky=mlp_leaky, bf16=mlp_bf16,
                     )
                     cdiff = jnp.abs(cpred - c["color_lbl"]).mean(-1)
                     cw = w_abs if loss_weight_on else c["bvalid"]
@@ -643,8 +662,8 @@ def _make_cached_mapping_fn(
                 if sem_on:
                     logp = decode_weighted(
                         sem_mlp_, feats, c["enc0"], c["w0"],
-                        head=dec.sem_label_prob, leaky=mlp_leaky,
-                        bf16=mlp_bf16,
+                        head=dec.sem_label_prob, encw=c["encw0"],
+                        leaky=mlp_leaky, bf16=mlp_bf16,
                     )  # [bs,S]
                     lbl_ok = (
                         (c["sem_lbl"] >= 0)
@@ -667,6 +686,7 @@ def _make_cached_mapping_fn(
                     mlp_,
                     jnp.broadcast_to(feats_d[None], (6,) + feats_d.shape),
                     c["enc_tap"], c["w_tap"], head=dec.sdf,
+                    encw=c["enc_tapw"],
                     sdf_scale=sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16,
                 )  # [6,bd]
                 g = jnp.stack(
