@@ -181,3 +181,42 @@ def test_update_flags_invalid_without_map(trained_scene):
     f.x.pos = np.array([500.0, 0.0, 0.0])
     pose, _ = f.update_iterated(h_reduce, src, jnp.ones((128,), bool))
     np.testing.assert_allclose(pose[:3, 3], [500.0, 0, 0], atol=1e-6)
+
+
+def test_device_scan_propagation_matches_host_f64():
+    """The r3 associative-scan device propagation must track the host f64
+    sequential filter at realistic IMU magnitudes (200 Hz, <=1 rad/s,
+    <=2 m/s^2) to f32 rounding levels."""
+    rng = np.random.default_rng(7)
+    n, K = 20, 64
+    rows = np.zeros((K, 7), np.float32)
+    rows[:n, 0] = 0.005
+    rows[:n, 1:4] = (rng.normal(size=(n, 3)) * 1.0 + [0, 0, iekf.G_M_S2])
+    rows[:n, 4:7] = rng.normal(size=(n, 3)) * 0.5
+
+    f = iekf.IEKF(iekf.IEKFConfig())
+    f.x.vel = np.array([1.0, -0.5, 0.2])
+    for i in range(n):
+        f.predict(rows[i, 1:4], rows[i, 4:7], float(rows[i, 0]))
+
+    Q = np.zeros((12, 12), np.float32)
+    c = iekf.IEKFConfig()
+    Q[0:3, 0:3] = c.measurement_noise_covariance * np.eye(3)
+    Q[3:6, 3:6] = c.measurement_noise_covariance * np.eye(3)
+    Q[6:9, 6:9] = c.bias_noise_covariance * np.eye(3)
+    Q[9:12, 9:12] = c.bias_noise_covariance * np.eye(3)
+    P0 = np.eye(18, dtype=np.float32)
+    P0[9:12, 9:12] *= 1e-4
+    P0[12:15, 12:15] *= 1e-3
+    P0[15:18, 15:18] *= 1e-4
+    rot, pos, vel, bg, ba, grav, P = iekf.device_predict_imu(
+        jnp.eye(3), jnp.zeros(3), jnp.asarray([1.0, -0.5, 0.2]),
+        jnp.zeros(3), jnp.zeros(3),
+        jnp.asarray([0.0, 0.0, -iekf.G_M_S2]),
+        jnp.asarray(P0), jnp.asarray(Q), jnp.asarray(rows),
+        jnp.asarray(n, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(rot), f.x.rot, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pos), f.x.pos, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vel), f.x.vel, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(P), f.P, atol=1e-4)

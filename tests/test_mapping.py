@@ -210,3 +210,30 @@ def test_pool_new_sample_mixing(rng):
     )
     # last 8 must come from the new buffer (indices < 10 here)
     assert (idx[-8:] < 10).all()
+
+
+def test_slab_gather_sorted_vjp_matches_plain_gather():
+    """The sorted-transpose slab gather must be value- and
+    gradient-identical to plain indexing."""
+    import numpy as np
+    from clid_slam_tpu.mapping.mapper import _slab_gather_sorted
+
+    rng = np.random.default_rng(0)
+    W, B, K, F = 128, 64, 6, 8
+    slab = jnp.asarray(rng.normal(size=(W, F)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, W, size=(B, K)).astype(np.int32))
+    flat = idx.reshape(-1)
+    order = jnp.argsort(flat)
+    sorted_idx = flat[order]
+    cot = jnp.asarray(rng.normal(size=(B, K, F)).astype(np.float32))
+
+    def f_sorted(s):
+        return jnp.sum(_slab_gather_sorted(s, idx, order, sorted_idx) * cot)
+
+    def f_plain(s):
+        return jnp.sum(s[idx] * cot)
+
+    np.testing.assert_allclose(f_sorted(slab), f_plain(slab), rtol=1e-6)
+    g1 = jax.grad(f_sorted)(slab)
+    g2 = jax.grad(f_plain)(slab)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

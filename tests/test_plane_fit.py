@@ -80,3 +80,26 @@ def test_plane_fit_matches_svd_reference(rng):
         n_ref = Vh[-1]
         dot = abs(np.dot(n_ref, n_got[i]))
         assert dot > 0.999, (i, dot)
+
+
+def test_fit_plane_masked_matches_gathered():
+    """fit_plane_masked over C candidates with a 4-hot mask must equal
+    fit_plane_knn on the gathered 4 points."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    N, C = 64, 7
+    pts = rng.normal(size=(N, C, 3)).astype(np.float32)
+    # flatten some neighborhoods to near-planes so both branches trigger
+    pts[: N // 2, :, 2] *= 0.01
+    sel_idx = np.argsort(rng.random((N, C)), axis=1)[:, :4]
+    sel = np.zeros((N, C), bool)
+    np.put_along_axis(sel, sel_idx, True, axis=1)
+    gathered = np.take_along_axis(pts, sel_idx[..., None], axis=1)
+
+    n1, c1, ok1 = pf.fit_plane_knn(jnp.asarray(gathered))
+    n2, c2, ok2 = pf.fit_plane_masked(jnp.asarray(pts), jnp.asarray(sel))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    # normals match up to sign where the fit succeeded
+    dots = np.abs(np.sum(np.asarray(n1) * np.asarray(n2), axis=-1))
+    assert np.all(dots[np.asarray(ok1)] > 1.0 - 1e-4)
