@@ -133,14 +133,28 @@ class SyntheticSequence:
     world: SyntheticWorld
 
 
-def large_world(rng, room_radius: float = 50.0, n_pillars: int = 24,
-                floor_z: float = -1.8, ceil_z: float = 6.0) -> SyntheticWorld:
+def large_world(rng, room_radius: float = 50.0, n_pillars: int = 96,
+                floor_z: float = -1.8, ceil_z: float = 6.0,
+                feature_annulus: Tuple[float, float] = (24.0, 40.0)
+                ) -> SyntheticWorld:
     """A production-scale environment: a big hall scattered with pillars
     (ncd128-like extents — 60 m range config sees walls and dozens of
-    obstacles; the map grows to 1e5+ neural points with pruning firing)."""
+    obstacles; the map grows to 1e5+ neural points with pruning firing).
+
+    The hall wall + floor + ceiling are all surfaces of revolution about
+    the room center, so a trajectory circling that center sees them as an
+    along-track gauge symmetry — ONLY the pillars constrain along-track
+    registration. Real halls are feature-rich at eye level, so half the
+    pillars are seeded into ``feature_annulus`` (the band a circling
+    platform traverses) to keep close-range structure in view everywhere
+    along the loop; with the r2-era 24 sparse pillars the tracker slipped
+    along the arc by ~the per-frame motion (measured r3: ATE 45 m)."""
     pillars = []
-    for _ in range(n_pillars):
-        r = rng.uniform(6.0, room_radius - 4.0)
+    for i in range(n_pillars):
+        if i % 2 == 0:
+            r = rng.uniform(*feature_annulus)
+        else:
+            r = rng.uniform(6.0, room_radius - 4.0)
         th = rng.uniform(0, 2 * np.pi)
         pillars.append(
             (r * np.cos(th), r * np.sin(th), rng.uniform(0.4, 2.2))
