@@ -408,6 +408,13 @@ class Config:
 
         lo = args.get("loss", {}) or {}
         c.main_loss_type = lo.get("main_loss_type", "bce")
+        if c.main_loss_type not in ("bce", "zhong", "sdf_l1", "sdf_l2"):
+            # fail loudly (ref utils/mapper.py:766-767 sys.exit) instead of
+            # silently proceeding with wrong loss semantics
+            raise ValueError(
+                f"unsupported loss.main_loss_type {c.main_loss_type!r}; "
+                "choose bce | zhong | sdf_l1 | sdf_l2"
+            )
         c.sigma_sigmoid_m = lo.get("sigma_sigmoid_m", c.sigma_sigmoid_m)
         c.loss_weight_on = lo.get("loss_weight_on", c.loss_weight_on)
         if c.loss_weight_on:

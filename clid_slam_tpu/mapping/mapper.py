@@ -50,6 +50,65 @@ def _adam_update(g, st: AdamState, t, lr, eps=1e-15, b1=0.9, b2=0.99):
     return upd, AdamState(m, v)
 
 
+SUPPORTED_LOSS_TYPES = ("bce", "zhong", "sdf_l1", "sdf_l2")
+
+
+def make_sdf_loss(label, weight, bvalid, *, loss_type, sigma, loss_weight_on):
+    """Main SDF loss selector (ref utils/loss.py:9-83, utils/mapper.py:750-766).
+
+    Returns ``loss(pred) -> scalar``: the masked mean over live rows
+    (fixed-capacity batches carry dead padding rows, so the denominator is
+    the live count, not bs). Frame-constant terms (sigmoid targets, zhong
+    midpoints, weights) are precomputed at closure-build time so per-Adam-
+    iteration work is only the pred-dependent part.
+
+    - ``bce``   (the shipped mode): logits BCE against sigmoid(label/sigma).
+    - ``zhong`` : hinge around the half-label midpoint (loss.py:66-83;
+      the trunc_dist branch is never used by the reference mapper, which
+      passes None at utils/mapper.py:759-761).
+    - ``sdf_l1``/``sdf_l2``: weighted |diff| / diff² means (loss.py:9-17;
+      always weighted; sdf_scale is 1.0 for non-bce per config.py:902-905).
+    """
+    w_abs = jnp.abs(weight) * bvalid
+    denom = jnp.clip(jnp.sum(bvalid), 1.0)
+    w = w_abs if loss_weight_on else bvalid
+    if loss_type == "bce":
+        label_op = jax.nn.sigmoid(label / sigma)
+
+        def per(pred):
+            return optax.sigmoid_binary_cross_entropy(pred / sigma, label_op)
+
+    elif loss_type == "zhong":
+        mid = label / 2.0
+        mid_abs = jnp.abs(mid)
+
+        def per(pred):
+            return jnp.maximum(jnp.abs(pred - mid) - mid_abs, 0.0)
+
+    elif loss_type == "sdf_l1":
+        w = w_abs  # diff losses are always weighted (loss.py:9-17)
+
+        def per(pred):
+            return jnp.abs(pred - label)
+
+    elif loss_type == "sdf_l2":
+        w = w_abs
+
+        def per(pred):
+            return (pred - label) ** 2
+
+    else:
+        raise ValueError(
+            f"unsupported main_loss_type {loss_type!r}; "
+            f"choose one of {SUPPORTED_LOSS_TYPES}"
+        )
+
+    def loss(pred):
+        return jnp.sum(per(pred) * w) / denom
+
+    return loss
+
+
 def make_mapping_fn(
     *,
     feature_dim: int,
@@ -82,6 +141,8 @@ def make_mapping_fn(
     cached_query: bool = True,
     resample_every: int = 10,
     as_body: bool = False,
+    loss_type: str = "bce",
+    gate_moment_io: bool = True,
 ):
     """Build the jitted per-frame map optimization function
     (``as_body=True``: unjitted, for fusion into a larger step).
@@ -143,6 +204,8 @@ def make_mapping_fn(
             layer_norm=layer_norm,
             resample_every=resample_every,
             as_body=as_body,
+            loss_type=loss_type,
+            gate_moment_io=gate_moment_io,
         )
 
     def query_sdf(map_state, feats, mlp, pts, travel_dist, cur_ts, window):
@@ -175,13 +238,10 @@ def make_mapping_fn(
         pred, q = query_sdf(map_state, feats, mlp, coord, travel_dist, cur_ts, window)
 
         w_abs = jnp.abs(weight) * bvalid
-        label_op = jax.nn.sigmoid(label / sigma)
-        bce = optax.sigmoid_binary_cross_entropy(pred / sigma, label_op)
-        if loss_weight_on:
-            # weighted mean over live rows (see cached path note)
-            sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(jnp.sum(bvalid), 1.0)
-        else:
-            sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(jnp.sum(bvalid), 1.0)
+        sdf_loss = make_sdf_loss(
+            label, weight, bvalid,
+            loss_type=loss_type, sigma=sigma, loss_weight_on=loss_weight_on,
+        )(pred)
 
         extra = 0.0
         surface_mask = (
@@ -433,8 +493,16 @@ def _make_cached_mapping_fn(
     layer_norm,
     resample_every,
     as_body,
+    loss_type="bce",
+    gate_moment_io=True,
 ):
-    """Candidate-cached mapping: see make_mapping_fn docstring."""
+    """Candidate-cached mapping: see make_mapping_fn docstring.
+
+    ``gate_moment_io=False`` is a test hook: always gather and always
+    write back the Adam moment slabs instead of skipping the (all-zero)
+    first-batch gather and the (dead) last-batch write-back. Must be
+    bit-equivalent to the gated path for any n_outer (tests/
+    test_round4_fixes.py guards the two lax.cond sites staying in sync)."""
 
     dec_step = gradient_decimation
     R = max(1, resample_every)  # resample cadence: fresh batch + probe
@@ -557,9 +625,14 @@ def _make_cached_mapping_fn(
             # fused step (r3 trace: 9.2 ms/frame); this explicit
             # drop-scatter of the same data stays vectorized
             tgt = jnp.where(touched > 0, loc, jnp.int32(2_000_000_000))
+            # NOTE: no unique_indices — untouched rows share the OOB
+            # sentinel, and whether mode="drop" filters before or after the
+            # uniqueness contract applies is implementation-defined in the
+            # scatter spec. In-bounds targets ARE unique (cumsum ids), so
+            # the scatter costs the same either way.
             src_rows = jnp.full((W,), cap, jnp.int32).at[tgt].set(
                 jnp.arange(cap + 1, dtype=jnp.int32),
-                mode="drop", unique_indices=True,
+                mode="drop",
             )
             # frame-constant sorted order of the batch's slab references,
             # for the sorted-transpose gather (_slab_gather_sorted)
@@ -584,7 +657,11 @@ def _make_cached_mapping_fn(
 
         def make_loss_fn(c):
             w_abs = jnp.abs(c["weight"]) * c["bvalid"]
-            label_op = jax.nn.sigmoid(c["label"] / sigma)
+            sdf_loss_of = make_sdf_loss(
+                c["label"], c["weight"], c["bvalid"],
+                loss_type=loss_type, sigma=sigma,
+                loss_weight_on=loss_weight_on,
+            )
             surface_mask = (
                 jnp.abs(c["label"]) < surface_sample_range_m
             ) * c["bvalid"]
@@ -626,21 +703,11 @@ def _make_cached_mapping_fn(
                     encw=c["encw0"],
                     sdf_scale=sdf_scale, leaky=mlp_leaky, bf16=mlp_bf16,
                 )
-                bce = optax.sigmoid_binary_cross_entropy(
-                    pred / sigma, label_op
-                )
-                if loss_weight_on:
-                    # weighted mean over LIVE rows (the reference divides
-                    # by bs with all-valid batches, utils/mapper.py:760;
-                    # the stripe pool leaves dead padding rows in batches,
-                    # so /bs would silently deflate the loss scale)
-                    sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(
-                        jnp.sum(c["bvalid"]), 1.0
-                    )
-                else:
-                    sdf_loss = jnp.sum(bce * c["bvalid"]) / jnp.clip(
-                        jnp.sum(c["bvalid"]), 1.0
-                    )
+                # masked mean over LIVE rows (the reference divides by bs
+                # with all-valid batches, utils/mapper.py:760; the stripe
+                # pool leaves dead padding rows in batches, so /bs would
+                # silently deflate the loss scale)
+                sdf_loss = sdf_loss_of(pred)
 
                 extra = 0.0
                 if color_on:
@@ -742,7 +809,7 @@ def _make_cached_mapping_fn(
             # moment slabs are all-zero on the first outer batch (fresh
             # Adam per mapping call), so their gathers are gated — in the
             # steady state (n_outer == 1) they never run.
-            first = o == 0
+            first = (o == 0) if gate_moment_io else jnp.bool_(False)
             work_pc = tuple(s[c["src_rows"]] for s in slabs[:2])
             work_mv = jax.lax.cond(
                 first,
@@ -788,7 +855,11 @@ def _make_cached_mapping_fn(
             # write back (duplicate src_rows only at the sentinel, zeroed).
             # Moment slabs only feed the NEXT outer batch; skip their
             # write-back on the final one (always, in the steady state)
-            last = (o + 1) * R >= n_iters
+            last = (
+                ((o + 1) * R >= n_iters)
+                if gate_moment_io
+                else jnp.bool_(False)
+            )
             slabs_pc = tuple(
                 s.at[c["src_rows"]].set(w).at[cap].set(0.0)
                 for s, w in zip(slabs[:2], work[:2])

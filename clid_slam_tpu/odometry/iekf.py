@@ -513,6 +513,15 @@ def make_cached_update_fn(
         (cand_pos [S,C,3], cand_feat [S,C,F], cvalid [S,C],
         cand_quat [S,C,4] | None)."""
         cap = nm.map_capacity(map_state)
+        # the packed f32 take_along below is exact only for hash ids < 2^24
+        # (f32 mantissa); map_hash_size is user-configurable (config.py:224)
+        if map_state.hash_table.shape[0] > (1 << 24):
+            raise ValueError(
+                "cached tracker packs hash ids through f32; "
+                f"map_hash_size {map_state.hash_to_slot.shape[0]} > 2^24 "
+                "would silently corrupt candidate gathers — use the "
+                "uncached tracker (track_cached: false) or a smaller hash"
+            )
         pc0 = points_imu @ rot0.T + pos0
         d2, h, pvalid, mir = nm.neighborhood_probe(
             map_state, pc0, nb_offs, resolution, max_valid_dist2,

@@ -262,6 +262,7 @@ def make_spatial_fns(
     mlp_bf16: bool = False,
     encode_vecs=None,
     axis: str = "sp",
+    loss_type: str = "bce",
 ):
     """Build (insert_fn, query_fn, mapping_fn) over the mesh's shard axis.
 
@@ -351,24 +352,16 @@ def make_spatial_fns(
                 return pred, q
 
             def loss_fn(params, st, batch):
-                import optax
+                from ..mapping.mapper import make_sdf_loss
 
                 feats, mlp_p = params
                 coord, label, weight, bvalid = batch
                 pred, q = query_sdf(st, feats, mlp_p, coord)
-                w_abs = jnp.abs(weight) * bvalid
-                label_op = jax.nn.sigmoid(label / sigma)
-                bce = optax.sigmoid_binary_cross_entropy(
-                    pred / sigma, label_op
-                )
-                if loss_weight_on:
-                    sdf_loss = jnp.sum(w_abs * bce) / jnp.clip(
-                        jnp.sum(bvalid), 1.0
-                    )
-                else:
-                    sdf_loss = jnp.sum(bce * bvalid) / jnp.clip(
-                        jnp.sum(bvalid), 1.0
-                    )
+                sdf_loss = make_sdf_loss(
+                    label, weight, bvalid,
+                    loss_type=loss_type, sigma=sigma,
+                    loss_weight_on=loss_weight_on,
+                )(pred)
                 xd = coord[::gradient_decimation][:bd]
                 vd = bvalid[::gradient_decimation][:bd]
                 eps3 = jnp.eye(3, dtype=xd.dtype) * num_grad_eps

@@ -23,7 +23,12 @@ import numpy as np
 from ..config import Config
 from ..ops.voxel import voxel_down_sample_mask
 from ..utils import io, metrics, plots
-from ..utils.transforms import crop_mask, deskew, transform_points
+from ..utils.transforms import (
+    adaptive_crop_range,
+    crop_mask,
+    deskew,
+    transform_points,
+)
 
 
 def _rot_close_to_identity(T: np.ndarray, rot_thre: float, tran_thre: float) -> bool:
@@ -240,10 +245,7 @@ class SLAMDataset:
 
         crop_max_range = cfg.max_range
         if cfg.adaptive_range_on:
-            mx = np.abs(pts).max(0)
-            mn = np.abs(pts).min(0)
-            inner = max(min(mx[0], mn[0]), min(mx[1], mn[1]))
-            crop_max_range = min(cfg.max_range, 2.0 * float(inner))
+            crop_max_range = adaptive_crop_range(pts, cfg.max_range)
         train_voxel_m = (crop_max_range / cfg.max_range) * cfg.vox_down_m
         source_voxel_m = (crop_max_range / cfg.max_range) * cfg.source_vox_down_m
 

@@ -195,6 +195,7 @@ class SlamSystem:
             max_valid_dist2=self.max_valid_dist2,
             sdf_scale=cfg.sdf_scale,
             sigma=cfg.sdf_scale,
+        loss_type=cfg.main_loss_type,
             bs=cfg.bs,
             bs_new=cfg.bs_new_sample,
             gradient_decimation=cfg.gradient_decimation,

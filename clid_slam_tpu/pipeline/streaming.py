@@ -46,7 +46,7 @@ from ..odometry import iekf
 from ..ops.encoding import make_encoder
 from ..ops.voxel import neighbor_offsets, voxel_down_sample_mask
 from ..utils import lie
-from ..utils.transforms import crop_mask, deskew
+from ..utils.transforms import adaptive_crop_range, crop_mask, deskew
 from .dataset import SLAMDataset
 
 G_M_S2 = iekf.G_M_S2
@@ -129,6 +129,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         max_valid_dist2=max_valid_dist2,
         sdf_scale=cfg.sdf_scale,
         sigma=cfg.sdf_scale,
+        loss_type=cfg.main_loss_type,
         bs=cfg.bs,
         bs_new=cfg.bs_new_sample,
         gradient_decimation=cfg.gradient_decimation,
@@ -667,10 +668,7 @@ class StreamingSlam:
         # host-side preprocess: adaptive range + pad/truncate
         crop_max_range = cfg.max_range
         if cfg.adaptive_range_on:
-            mx = np.abs(points).max(0)
-            mn = np.abs(points).min(0)
-            inner = max(min(mx[0], mn[0]), min(mx[1], mn[1]))
-            crop_max_range = min(cfg.max_range, 2.0 * float(inner))
+            crop_max_range = adaptive_crop_range(points, cfg.max_range)
 
         p_cap = cfg.max_scan_points
         n = points.shape[0]

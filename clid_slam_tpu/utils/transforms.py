@@ -57,6 +57,22 @@ def deskew(
     return jnp.einsum("nij,nj->ni", R_t, points) + tran
 
 
+def adaptive_crop_range(points, max_range: float) -> float:
+    """Adaptive max-range crop (ref utils/slam_dataset.py:395-404).
+
+    inner = max over x,y of min(|axis max bound|, |axis min bound|): how far
+    the scan extends symmetrically along each horizontal axis. The crop radius
+    is 2*inner, capped at max_range. Host-side numpy (runs per frame before
+    upload).
+    """
+    import numpy as _np
+
+    mx = _np.abs(_np.asarray(points)[:, :3].max(0))
+    mn = _np.abs(_np.asarray(points)[:, :3].min(0))
+    inner = max(min(mx[0], mn[0]), min(mx[1], mn[1]))
+    return min(float(max_range), 2.0 * float(inner))
+
+
 def crop_mask(
     points: jnp.ndarray,
     min_z: float,
