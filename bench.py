@@ -72,6 +72,22 @@ def build_config(large: bool = False):
     cfg.pool_filter_freq = 10
     cfg.prune_map_on = large  # prune/rehash cadence fires at scale
     cfg.prune_freq_frame = 50
+    if large:
+        # honest sensor model: the synthetic IMU has EXACTLY zero bias and
+        # zero bias random walk; the reference default (1e-4, tuned for
+        # real MEMS parts) lets the bias state steal a sustained launch
+        # acceleration when registration SNR is low (r4 diagnosis,
+        # scripts/diag_large2.py: ba_x climbed to 0.35 m/s^2 of a real
+        # 2.0 m/s^2 launch and velocity never built)
+        cfg.bias_noise_covariance = 1e-8
+        # registration trust calibrated to the measured map error field
+        # (scripts/diag_large7/9.py): beyond ~20 m the SDF carries coherent
+        # ~8 cm surface bias toward the sensor (single-ring support), and
+        # the texture error is spatially correlated — feeding 60 m points
+        # at the reference's hardcoded per-point info (1000) drags the
+        # launch. Mapping still consumes the full 60 m cloud.
+        cfg.track_max_range = 20.0
+        cfg.tracker_info_scale = 30.0
     cfg.track_on = True
     cfg.silence = True
     cfg._derive()
@@ -88,15 +104,22 @@ def make_sequence(large: bool, n_frames: int):
     if large:
         rng = np.random.default_rng(11)
         world = large_world(rng, room_radius=50.0)
-        # start AT REST and ramp to full speed over 60 frames — the
-        # realistic boot condition (real ncd128-style sequences start
-        # near-stationary; an IEKF dropped into a cold map at 5 m/s
-        # re-registers scan 1 to the frame-0 map's zero-displacement
-        # minimum and never recovers — measured r3)
+        # Boot profile measured against BOTH engines (r4,
+        # scripts/diag_large*.py + run_reference_cpu.py --large):
+        # - truly static hold (15 frames), then a FAST ramp (25 frames) to
+        #   full speed: real sequences open with the operator standing
+        #   still and then walk off; a 60-frame creep through mm-per-frame
+        #   motions sits under the registration noise floor (±2 mm minimum
+        #   texture) and bootstraps map corruption — the UNMODIFIED
+        #   reference engine fails it identically (ATE 16.4 m / 100
+        #   frames, terr trace bit-comparable to ours);
+        # - spin_phase: a real spinning LiDAR never repeats the same
+        #   azimuth grid; the bit-identical synthetic grid lets the SDF
+        #   overfit exact sample positions.
         return generate_sequence(
             n_frames=n_frames, n_azimuth=1024, n_elev=32, noise_std=0.01,
             radius=32.0, period_frames=400.0, seed=3, world=world,
-            ramp_frames=60.0,
+            ramp_frames=25.0, hold_frames=15.0, spin_phase=True,
         )
     return generate_sequence(
         n_frames=n_frames, n_azimuth=1024, n_elev=32, noise_std=0.01, seed=3

@@ -192,6 +192,21 @@ class Config:
     reg_term_thre_m: float = 0.001
     measurement_noise_covariance: float = 0.01
     bias_noise_covariance: float = 0.0001
+    # registration-only source range gate (0 = off, use max_range). The
+    # neural map beyond ~single-ring beam support carries coherent
+    # decimeter-scale surface bias toward the sensor (measured r4,
+    # scripts/diag_large9.py: hall wall at 38 m mapped 8 cm close);
+    # mapping still uses the full range, but feeding those points to the
+    # IESEKF as if they had texture-level noise drags the pose. The
+    # reference has no such gate (it tracks with the full cropped cloud).
+    track_max_range: float = 0.0
+    # per-point information scale of the SDF measurement (the reference
+    # hardcodes 1000, utils/error_state_iekf.py:262 — i.e. sigma ~ 0.03 m
+    # per point, treating points as independent). The SDF error field is
+    # spatially correlated, so the effective pose information is far
+    # lower; sequences with slow-motion phases (sub-texture per-frame
+    # displacement) track better with an honest smaller value.
+    tracker_info_scale: float = 1000.0
 
     # ---- eval / vis / meshing (reference utils/config.py:330-385) ----
     wandb_vis_on: bool = False
@@ -464,6 +479,10 @@ class Config:
             )
             c.bias_noise_covariance = tr.get(
                 "bias_noise_covariance", c.bias_noise_covariance
+            )
+            c.track_max_range = tr.get("track_max_range", c.track_max_range)
+            c.tracker_info_scale = tr.get(
+                "tracker_info_scale", c.tracker_info_scale
             )
 
         o = args.get("optimizer", {}) or {}

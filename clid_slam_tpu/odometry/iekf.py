@@ -274,6 +274,7 @@ def make_h_reduce_fn(
     weighted_first: bool = True,
     layer_norm: bool = False,
     max_sdf_std: float = float("inf"),
+    info_scale: float = 1000.0,
 ):
     """Build the fused measurement reduction
     (utils/error_state_iekf.py:176-264 without the H[N,18] materialization).
@@ -357,7 +358,7 @@ def make_h_reduce_fn(
         # robust per-point information weights (:257-262)
         w_grad = 1.0 / (1.0 + (grad_norm - 1.0) ** 2)
         w_res = 0.4 / (0.4 + sdf_pred**2)
-        r_inv = 1000.0 * w_grad * w_res * vf
+        r_inv = info_scale * w_grad * w_res * vf
 
         hp = jax.lax.Precision.HIGHEST  # f32-exact reductions on TPU
         S6 = jnp.einsum("n,ni,nj->ij", r_inv, H, H, precision=hp)
@@ -472,6 +473,7 @@ def make_cached_update_fn(
     layer_norm: bool = False,
     max_sdf_std: float = float("inf"),
     stagnation_iter: int = 10,
+    info_scale: float = 1000.0,
 ):
     """Candidate-cached iterated IESEKF update (unjitted body).
 
@@ -652,7 +654,7 @@ def make_cached_update_fn(
             H = jnp.concatenate([h_rot, grad], axis=-1)
             w_grad = 1.0 / (1.0 + (grad_norm - 1.0) ** 2)
             w_res = 0.4 / (0.4 + sdf_pred**2)
-            r_inv = 1000.0 * w_grad * w_res * vf
+            r_inv = info_scale * w_grad * w_res * vf
             hp = jax.lax.Precision.HIGHEST
             S6 = jnp.einsum("n,ni,nj->ij", r_inv, H, H, precision=hp)
             b6 = jnp.einsum("n,ni,n->i", r_inv, H, sdf_pred, precision=hp)
@@ -777,6 +779,7 @@ def make_update_iterated_fn(
     layer_norm: bool = False,
     max_sdf_std: float = float("inf"),
     stagnation_iter: int = 10,
+    info_scale: float = 1000.0,
 ):
     """The ENTIRE iterated IESEKF update as one jitted device call.
 
@@ -810,6 +813,7 @@ def make_update_iterated_fn(
         weighted_first=weighted_first,
         layer_norm=layer_norm,
         max_sdf_std=max_sdf_std,
+        info_scale=info_scale,
     )
 
     term_rad = term_thre_deg * jnp.pi / 180.0

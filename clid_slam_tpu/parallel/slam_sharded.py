@@ -138,6 +138,7 @@ class ShardedSlamSystem:
             layer_norm=cfg.layer_norm_on,
             max_sdf_std=cfg.surface_sample_range_m * cfg.max_sdf_std_ratio,
             stagnation_iter=cfg.stagnation_iter,
+            info_scale=cfg.tracker_info_scale,
         )
         self.tracker_update = sp.make_sharded_tracker_fn(
             self.mesh, cached_body,

@@ -310,6 +310,11 @@ class SLAMDataset:
             src_mask = voxel_down_sample_mask(
                 points_j, mask_j, source_voxel_m, cfg.map_hash_size
             )
+            if cfg.track_max_range > 0:
+                # registration-only range gate (config.track_max_range)
+                src_mask = src_mask & (
+                    jnp.linalg.norm(points_j, axis=-1) <= cfg.track_max_range
+                )
             if cfg.deskew and ts_buf is not None and not self.lose_track:
                 src_pts = deskew(
                     points_j,

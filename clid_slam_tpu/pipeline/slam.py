@@ -233,6 +233,7 @@ class SlamSystem:
             weighted_first=cfg.weighted_first,
             layer_norm=cfg.layer_norm_on,
             max_sdf_std=max_sdf_std,
+            info_scale=cfg.tracker_info_scale,
         )
         self.update_iterated_dev = iekf.make_update_iterated_fn(
             knn_k=cfg.query_nn_k,
@@ -254,6 +255,7 @@ class SlamSystem:
             layer_norm=cfg.layer_norm_on,
             max_sdf_std=max_sdf_std,
             stagnation_iter=cfg.stagnation_iter,
+            info_scale=cfg.tracker_info_scale,
         )
         self.mesher = Mesher(
             knn_k=cfg.query_nn_k,

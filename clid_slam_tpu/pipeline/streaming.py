@@ -119,6 +119,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         layer_norm=cfg.layer_norm_on,
         max_sdf_std=max_sdf_std,
         stagnation_iter=cfg.stagnation_iter,
+        info_scale=cfg.tracker_info_scale,
     )
 
     mapping_body = mp.make_mapping_fn(
@@ -269,6 +270,13 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
                     points, train_mask, scale * cfg.source_vox_down_m,
                     cfg.map_hash_size,
                 )
+                if cfg.track_max_range > 0:
+                    # registration-only range gate (config.track_max_range
+                    # rationale): mapping keeps the full cropped cloud
+                    src_mask = src_mask & (
+                        jnp.linalg.norm(points, axis=-1)
+                        <= cfg.track_max_range
+                    )
                 n_src = jnp.sum(src_mask.astype(jnp.int32))
                 (src_idx,) = jnp.nonzero(src_mask, size=S, fill_value=0)
                 smask = jnp.arange(S) < n_src

@@ -26,6 +26,9 @@ class SyntheticWorld:
     pillars: List[Tuple[float, float, float]] = field(
         default_factory=lambda: [(3.0, 2.0, 0.5), (-2.5, -3.0, 0.7)]
     )  # (cx, cy, radius)
+    boxes: List[Tuple[float, float, float, float, float, float]] = field(
+        default_factory=list
+    )  # (cx, cy, half_x, half_y, z0, z1) axis-aligned solid boxes
 
     def raycast(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
         """Distances along unit dirs [N,3] to the nearest surface."""
@@ -67,11 +70,35 @@ class SyntheticWorld:
                 (zhit > self.floor_z) & (zhit < self.ceil_z), t1, np.inf
             )
             t_best = np.minimum(t_best, t1)
+
+        # axis-aligned boxes (slab method, nearest positive entry)
+        for cx, cy, hx, hy, z0, z1 in self.boxes:
+            lo = np.array([cx - hx, cy - hy, z0])
+            hi = np.array([cx + hx, cy + hy, z1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, np.inf)
+                t0s = (lo[None] - origin[None]) * inv
+                t1s = (hi[None] - origin[None]) * inv
+            tn = np.nanmax(np.minimum(t0s, t1s), axis=1)
+            tf = np.nanmin(np.maximum(t0s, t1s), axis=1)
+            hitb = (tn <= tf) & (tn > 1e-6)
+            t_best = np.minimum(t_best, np.where(hitb, tn, np.inf))
         return t_best
 
 
-def lidar_directions(n_azimuth: int = 128, n_elev: int = 16) -> np.ndarray:
-    az = np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)
+def lidar_directions(
+    n_azimuth: int = 128, n_elev: int = 16, az_phase: float = 0.0
+) -> np.ndarray:
+    """``az_phase`` (in units of one azimuth step) offsets the whole sweep —
+    a real spinning LiDAR never fires the same azimuth grid twice (spin
+    phase drifts frame to frame). A bit-identical grid is a synthetic
+    artifact that lets the map overfit the exact sample positions and
+    biases scan-to-map registration at sub-step motions (measured:
+    ±2 mm minimum shift at 4 mm inter-frame motion, scripts/diag_large4.py)."""
+    az = (
+        np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)
+        + az_phase * 2.0 * np.pi / n_azimuth
+    )
     el = np.linspace(np.deg2rad(-22.5), np.deg2rad(22.5), n_elev)
     A, E = np.meshgrid(az, el, indexing="ij")
     d = np.stack(
@@ -83,46 +110,63 @@ def lidar_directions(n_azimuth: int = 128, n_elev: int = 16) -> np.ndarray:
 def circular_trajectory(
     n_frames: int, radius: float = 3.0, period_frames: float = 200.0,
     frame_dt: float = 0.1, ramp_frames: float = 0.0,
+    hold_frames: float = 0.0,
 ):
     """Pose per frame: moving on a circle, yaw tangent to motion.
     ``ramp_frames`` > 0 starts the platform AT REST and linearly ramps the
     angular rate over that many frames — the realistic boot condition (an
     IEKF initialized with zero velocity only converges on sequences that
     start near-stationary, like the real benchmark datasets do).
+    ``hold_frames`` keeps the platform EXACTLY at rest before the ramp
+    begins (real sequences open with the operator standing still; during
+    the hold the filter sees zero innovation and accrues no error, unlike
+    a creeping sub-noise-floor start).
     Returns (poses [N,4,4], angular velocity [N,3] body, accel [N,3] body)."""
     w_max = 2 * np.pi / (period_frames * frame_dt)  # rad/s
     t_ramp = ramp_frames * frame_dt
+    t_hold = hold_frames * frame_dt
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     omegas = np.zeros((n_frames, 3))
     accels = np.zeros((n_frames, 3))
     for i in range(n_frames):
         t = i * frame_dt
-        if t_ramp > 0 and t < t_ramp:
-            w = w_max * t / t_ramp  # θ' during ramp
-            th = 0.5 * w_max * t * t / t_ramp
-            wd = w_max / t_ramp  # θ''
-        else:
-            w = w_max
-            th = w_max * (t - 0.5 * t_ramp) if t_ramp > 0 else w_max * t
-            wd = 0.0
-        p = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
-        yaw = th + np.pi / 2  # tangent
-        cy, sy = np.cos(yaw), np.sin(yaw)
-        R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        R, p, om, ac = _circular_state(t, radius, w_max, t_ramp, t_hold)
         poses[i, :3, :3] = R
         poses[i, :3, 3] = p
-        # kinematics: p̈ = r(θ''[-sin,cos] - θ'²[cos,sin]); body rate [0,0,θ']
-        pdd = np.array(
-            [
-                radius * (-wd * np.sin(th) - w * w * np.cos(th)),
-                radius * (wd * np.cos(th) - w * w * np.sin(th)),
-                0.0,
-            ]
-        )
-        grav = np.array([0.0, 0.0, -G])
-        accels[i] = R.T @ (pdd - grav)
-        omegas[i] = np.array([0.0, 0.0, w])
+        accels[i] = ac
+        omegas[i] = om
     return poses, omegas, accels
+
+
+def _circular_state(t, radius, w_max, t_ramp, t_hold):
+    """Exact kinematic state of the hold->ramp->cruise circular trajectory
+    at continuous time ``t``: (R [3,3], p [3], omega_body [3],
+    accel_body [3] specific force)."""
+    tau = t - t_hold
+    if tau < 0:
+        w, th, wd = 0.0, 0.0, 0.0
+    elif t_ramp > 0 and tau < t_ramp:
+        w = w_max * tau / t_ramp  # θ' during ramp
+        th = 0.5 * w_max * tau * tau / t_ramp
+        wd = w_max / t_ramp  # θ''
+    else:
+        w = w_max
+        th = w_max * (tau - 0.5 * t_ramp) if t_ramp > 0 else w_max * tau
+        wd = 0.0
+    p = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
+    yaw = th + np.pi / 2  # tangent
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    # kinematics: p̈ = r(θ''[-sin,cos] - θ'²[cos,sin]); body rate [0,0,θ']
+    pdd = np.array(
+        [
+            radius * (-wd * np.sin(th) - w * w * np.cos(th)),
+            radius * (wd * np.cos(th) - w * w * np.sin(th)),
+            0.0,
+        ]
+    )
+    grav = np.array([0.0, 0.0, -G])
+    return R, p, np.array([0.0, 0.0, w]), R.T @ (pdd - grav)
 
 
 @dataclass
@@ -135,20 +179,26 @@ class SyntheticSequence:
 
 def large_world(rng, room_radius: float = 50.0, n_pillars: int = 96,
                 floor_z: float = -1.8, ceil_z: float = 6.0,
-                feature_annulus: Tuple[float, float] = (24.0, 40.0)
+                feature_annulus: Tuple[float, float] = (24.0, 40.0),
+                n_boxes: int = 48, path_radius: float = 32.0,
                 ) -> SyntheticWorld:
     """A production-scale environment: a big hall scattered with pillars
-    (ncd128-like extents — 60 m range config sees walls and dozens of
-    obstacles; the map grows to 1e5+ neural points with pruning firing).
+    and box "buildings" (ncd128-like extents — 60 m range config sees
+    walls and dozens of obstacles; the map grows to 1e5+ neural points
+    with pruning firing).
 
     The hall wall + floor + ceiling are all surfaces of revolution about
     the room center, so a trajectory circling that center sees them as an
-    along-track gauge symmetry — ONLY the pillars constrain along-track
-    registration. Real halls are feature-rich at eye level, so half the
-    pillars are seeded into ``feature_annulus`` (the band a circling
-    platform traverses) to keep close-range structure in view everywhere
-    along the loop; with the r2-era 24 sparse pillars the tracker slipped
-    along the arc by ~the per-frame motion (measured r3: ATE 45 m)."""
+    along-track GAUGE SYMMETRY. With cylinders only (r2/r3 worlds) every
+    frame's registration deficit projects onto the same along-track
+    direction and noise rectifies into a coherent ratchet — measured to
+    defeat the UNMODIFIED reference engine exactly like ours (r4:
+    run_reference_cpu.py --large, ATE 16.4 m/100 frames, per-frame drift
+    trace bit-comparable). Real large-scale sites (ncd128 is a college
+    quad) are full of planar structure; the axis-aligned boxes here give
+    every viewpoint close-range planes constraining BOTH horizontal axes,
+    like real building walls do. Boxes keep a >=3.5 m clearance from the
+    r=``path_radius`` trajectory ring."""
     pillars = []
     for i in range(n_pillars):
         if i % 2 == 0:
@@ -159,9 +209,26 @@ def large_world(rng, room_radius: float = 50.0, n_pillars: int = 96,
         pillars.append(
             (r * np.cos(th), r * np.sin(th), rng.uniform(0.4, 2.2))
         )
+    boxes = []
+    tries = 0
+    while len(boxes) < n_boxes and tries < n_boxes * 40:
+        tries += 1
+        if len(boxes) % 2 == 0:
+            r = rng.uniform(*feature_annulus)
+        else:
+            r = rng.uniform(8.0, room_radius - 6.0)
+        th = rng.uniform(0, 2 * np.pi)
+        hx = rng.uniform(1.0, 3.0)
+        hy = rng.uniform(1.0, 3.0)
+        cx, cy = r * np.cos(th), r * np.sin(th)
+        # clearance: box circumradius away from the trajectory ring
+        if abs(np.hypot(cx, cy) - path_radius) < 3.5 + float(np.hypot(hx, hy)):
+            continue
+        z1 = floor_z + rng.uniform(2.0, 5.5)
+        boxes.append((cx, cy, hx, hy, floor_z, z1))
     return SyntheticWorld(
         room_radius=room_radius, floor_z=floor_z, ceil_z=ceil_z,
-        pillars=pillars,
+        pillars=pillars, boxes=boxes,
     )
 
 
@@ -176,19 +243,25 @@ def generate_sequence(
     period_frames: float = 200.0,
     seed: int = 0,
     ramp_frames: float = 0.0,
+    hold_frames: float = 0.0,
+    spin_phase: bool = False,
     world: SyntheticWorld = None,
 ) -> SyntheticSequence:
+    """``spin_phase=True`` drifts the azimuth grid by the golden-ratio
+    fraction of one step per frame (a low-discrepancy model of real spin
+    phase drift) so consecutive frames never sample identical rays."""
     rng = np.random.default_rng(seed)
     if world is None:
         world = SyntheticWorld()
     poses, omegas, accels = circular_trajectory(
-        n_frames, radius, period_frames, frame_dt, ramp_frames
+        n_frames, radius, period_frames, frame_dt, ramp_frames, hold_frames
     )
-    dirs_body = lidar_directions(n_azimuth, n_elev)
 
     scans = []
     imu_windows = [None]
     for i in range(n_frames):
+        phase = (i * 0.6180339887498949) % 1.0 if spin_phase else 0.0
+        dirs_body = lidar_directions(n_azimuth, n_elev, az_phase=phase)
         R, p = poses[i, :3, :3], poses[i, :3, 3]
         dirs_w = dirs_body @ R.T
         t = world.raycast(p, dirs_w)
@@ -201,9 +274,19 @@ def generate_sequence(
             k = imu_rate
             dt = frame_dt / k
             rows = np.zeros((k, 7))
+            w_max = 2 * np.pi / (period_frames * frame_dt)
             for j in range(k):
-                a = 0.5 * (accels[i - 1] + accels[i])
-                g = 0.5 * (omegas[i - 1] + omegas[i])
+                # evaluate the ANALYTIC signals at each substep midpoint.
+                # Frame-boundary trapezoid averaging phase-leads a
+                # discontinuous acceleration by half a frame (measured:
+                # a perfect dead-reckon ran +9 mm/frame AHEAD of truth
+                # through the ramp, scripts/diag_imu.py r4), which feeds
+                # the tracker a systematically wrong prior every frame.
+                t_mid = (i - 1) * frame_dt + (j + 0.5) * dt
+                _, _, g, a = _circular_state(
+                    t_mid, radius, w_max,
+                    ramp_frames * frame_dt, hold_frames * frame_dt,
+                )
                 rows[j] = [dt, a[0], a[1], a[2], g[0], g[1], g[2]]
             imu_windows.append(rows)
     return SyntheticSequence(poses, scans, imu_windows, world)

@@ -130,7 +130,9 @@ def dump_reference_dataset(seq, root: str) -> dict:
     }
 
 
-def write_reference_yaml(paths: dict, out_root: str, n_frames: int) -> str:
+def write_reference_yaml(
+    paths: dict, out_root: str, n_frames: int, large: bool = False
+) -> str:
     """Reference-format YAML mirroring bench.py's workload parameters."""
     import yaml
 
@@ -166,7 +168,7 @@ def write_reference_yaml(paths: dict, out_root: str, n_frames: int) -> str:
         "loss": {"loss_weight_on": True, "dist_weight_scale": 0.8},
         "continual": {
             "batch_size_new_sample": 1000,
-            "pool_capacity": 2097152,
+            "pool_capacity": 4194304 if large else 2097152,
             "pool_filter_freq": 10,
         },
         "tracker": {
@@ -207,21 +209,35 @@ def main():
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--seed", type=int, default=None,
                     help="override config.seed (decoder init / sampling)")
+    ap.add_argument("--large", action="store_true",
+                    help="bench.py's LARGE scenario (100 m hall, 96 "
+                    "pillars, rest-start 60-frame speed ramp)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
-    from clid_slam_tpu.pipeline.synthetic import generate_sequence
+    from clid_slam_tpu.pipeline.synthetic import (
+        generate_sequence, large_world,
+    )
 
     # identical sequence to bench.py
-    seq = generate_sequence(
-        n_frames=args.frames,
-        n_azimuth=args.azimuth,
-        n_elev=args.elev,
-        noise_std=0.01,
-        seed=3,
-    )
+    if args.large:
+        wrng = np.random.default_rng(11)
+        seq = generate_sequence(
+            n_frames=args.frames, n_azimuth=args.azimuth,
+            n_elev=args.elev, noise_std=0.01, radius=32.0,
+            period_frames=400.0, seed=3,
+            world=large_world(wrng, room_radius=50.0), ramp_frames=60.0,
+        )
+    else:
+        seq = generate_sequence(
+            n_frames=args.frames,
+            n_azimuth=args.azimuth,
+            n_elev=args.elev,
+            noise_std=0.01,
+            seed=3,
+        )
     paths = dump_reference_dataset(seq, args.out)
-    yaml_path = write_reference_yaml(paths, args.out, args.frames)
+    yaml_path = write_reference_yaml(paths, args.out, args.frames, args.large)
 
     _install_stubs()
     sys.path.insert(0, REFERENCE)
@@ -267,13 +283,15 @@ def main():
 
     # seed the filter at gt[0] with the true initial velocity — exactly what
     # bench.py does for the TPU engine
-    w = 2 * np.pi / 20.0
     iekfom.x.rot = torch.tensor(seq.poses[0][:3, :3], dtype=config.tran_dtype)
     iekfom.x.pos = torch.tensor(seq.poses[0][:3, 3], dtype=config.tran_dtype)
-    iekfom.x.vel = torch.tensor(
-        seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0]),
-        dtype=config.tran_dtype,
-    )
+    if args.large:
+        # rest-start ramp: secant initial velocity (~0), same as bench.py
+        vel0 = (seq.poses[1][:3, 3] - seq.poses[0][:3, 3]) / 0.1
+    else:
+        w = 2 * np.pi / 20.0
+        vel0 = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+    iekfom.x.vel = torch.tensor(vel0, dtype=config.tran_dtype)
 
     n = min(args.frames, dataset.total_pc_count)
     frame_times = []
@@ -322,7 +340,13 @@ def main():
         dataset.processed_frame += 1
         dt = time.perf_counter() - t0
         frame_times.append(dt)
-        print(f"# ref frame {frame_id}: {dt*1e3:.1f} ms", file=sys.stderr)
+        terr = np.linalg.norm(
+            dataset.odom_poses[frame_id][:3, 3] - seq.poses[frame_id][:3, 3]
+        )
+        print(
+            f"# ref frame {frame_id}: {dt*1e3:.1f} ms, terr {terr:.4f} m",
+            file=sys.stderr,
+        )
 
     est = dataset.odom_poses[:n]
     gt = seq.poses[:n]
