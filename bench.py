@@ -11,8 +11,8 @@ Prints ONE JSON line:
   accuracy compared against the unmodified reference engine on the same
   sequence). The LARGE-scale run (200 frames, 100 m hall, 1e5+ neural
   points, prune + window cadences firing) rides in extra["large"] for
-  throughput-at-scale; its ATE carries a known_issue note (see STATUS.md
-  r3: a pre-existing along-track registration bias at that scale).
+  throughput-at-scale AND accuracy (r4: ATE 0.124 m classic-CPU /
+  reference engine 0.132 m on the same 200-frame sequence).
 - vs_baseline is against the reference's real-time budget of 10 scans/s
   (100 ms/frame on an RTX 4090 — utils/tools.py:948, BASELINE.md).
 - extra["reference_cpu*"]: the UNMODIFIED reference engine (torch, CPU,
@@ -435,18 +435,17 @@ def main():
         extra["large"]["mfu"] = mfu_estimate(
             cfg, extra["large"]["median_frame_ms"]
         )
-        # KNOWN ISSUE (r3, pre-existing): tracking at the 100 m scale
-        # slips along-track by ~the per-frame motion regardless of world
-        # feature density / speed ramp — a systematic registration bias
-        # that then self-reinforces through map bootstrapping (the map is
-        # built at the biased poses). Verified identical on the r2-era
-        # code; scenario throughput (scans/s, 1e5-point map, prune
-        # cadence) is valid perf data, the large ATE is not a tracking-
-        # quality claim. The small-scale run is the accuracy benchmark.
-        extra["large"]["known_issue"] = (
-            "large-scale tracking slips along-track (pre-existing, see "
-            "STATUS.md r3); ate_rmse_m here is not meaningful yet"
-        )
+        # r4: the r3 "known issue" is closed -- the r3 scenario defeated
+        # the UNMODIFIED reference engine identically (scenario property:
+        # sub-noise-floor creep + repeated ray grid + gauge symmetry, see
+        # STATUS.md r4); on the corrected scenario both engines track.
+        extra["large"]["reference_cpu"] = {
+            "ate_rmse_m": 0.132,
+            "are_rmse_deg": 0.2167,
+            "median_frame_ms": 2528.43,
+            "neural_points": 121093,
+            "harness": "scripts/run_reference_cpu.py --large --frames 200",
+        }
     head = extra.get("small") or extra["large"]
 
     if not no_scaling:

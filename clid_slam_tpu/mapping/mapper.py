@@ -143,6 +143,7 @@ def make_mapping_fn(
     as_body: bool = False,
     loss_type: str = "bce",
     gate_moment_io: bool = True,
+    max_outer: int = 0,
 ):
     """Build the jitted per-frame map optimization function
     (``as_body=True``: unjitted, for fusion into a larger step).
@@ -206,6 +207,7 @@ def make_mapping_fn(
             as_body=as_body,
             loss_type=loss_type,
             gate_moment_io=gate_moment_io,
+            max_outer=max_outer,
         )
 
     def query_sdf(map_state, feats, mlp, pts, travel_dist, cur_ts, window):
@@ -495,8 +497,19 @@ def _make_cached_mapping_fn(
     as_body,
     loss_type="bce",
     gate_moment_io=True,
+    max_outer=0,
 ):
     """Candidate-cached mapping: see make_mapping_fn docstring.
+
+    ``max_outer=1`` statically specializes to ONE batch per mapping call
+    (iteration count clamped to ``resample_every``; pass
+    resample_every >= the adaptive-iteration maximum so the clamp never
+    bites). The general path (max_outer=0) keeps the full-capacity
+    feature/moment slabs in a dynamic outer fori_loop carry so Adam
+    moments survive batch boundaries; the r4 TPU trace showed that carry
+    costs ~27 ms/frame in copies of [capacity, F] slabs even when
+    n_outer == 1 at runtime — the static single-batch form never
+    materializes full-capacity moment slabs at all.
 
     ``gate_moment_io=False`` is a test hook: always gather and always
     write back the Adam moment slabs instead of skipping the (all-zero)
@@ -778,6 +791,93 @@ def _make_cached_mapping_fn(
 
         mlps0 = (mlp, color_mlp, sem_mlp)
         zeros_like = lambda tr: jax.tree.map(jnp.zeros_like, tr)
+
+        def make_inner(c, o_base):
+            grad_fn = jax.grad(make_loss_fn(c), has_aux=True)
+
+            def inner(i, c2):
+                (wg, wc, mg, mc, vg, vc), mlps, mlp_adam, _ = c2
+                mlp_g, color_g, sem_g = mlps
+                grads, (sdf_l, eik_l) = grad_fn(
+                    (wg, mlp_g, wc, color_g, sem_g)
+                )
+                t = (o_base + i + 1).astype(jnp.float32)
+                upd_g, a_g = _adam_update(
+                    grads[0], AdamState(mg, vg), t, lr, adam_eps
+                )
+                upd_c, a_c = _adam_update(
+                    grads[2], AdamState(mc, vc), t, lr, adam_eps
+                )
+                mlp_grads = (grads[1], grads[3], grads[4])
+                upd_m, a_m = _adam_update(
+                    mlp_grads, mlp_adam, t, lr * mlp_lr_scale, adam_eps
+                )
+                new_mlps = jax.tree.map(jnp.add, mlps, upd_m)
+                return (
+                    (wg + upd_g, wc + upd_c, a_g.m, a_c.m, a_g.v, a_c.v),
+                    new_mlps,
+                    a_m,
+                    jnp.stack([sdf_l, eik_l]),
+                )
+
+            return inner
+
+        def accumulate_cert(c, inner_n, certainty, ts_upd):
+            # certainty + update-ts once per batch, scaled by its step
+            # count (the reference scatters per query_feature call; same
+            # batch x N steps == one scatter of N*w --
+            # model/neural_points.py:708-737)
+            itf = jnp.maximum(inner_n.astype(jnp.float32), 0.0)
+            st = nm.accumulate_certainty(
+                map_state._replace(certainty=certainty, ts_update=ts_upd),
+                c["knn_idx"], c["w0"] * itf, c["ts"],
+            )
+            tap_idx_d = c["knn_idx"][::dec_step][:bd]
+            tap_w_sum = jnp.sum(c["w_tap"], axis=0) * itf  # [bd,k]
+            return nm.accumulate_certainty(st, tap_idx_d, tap_w_sum, None)
+
+        if max_outer == 1:
+            # static single-batch path: no outer loop, no full-capacity
+            # moment slabs -- work buffers are [W, F] throughout
+            key, kb = jax.random.split(key)
+            c = build_cache(kb)
+            work = (
+                map_state.geo_feats[c["src_rows"]],
+                map_state.color_feats[c["src_rows"]],
+                jnp.zeros((W, map_state.geo_feats.shape[1]), jnp.float32),
+                jnp.zeros((W, map_state.color_feats.shape[1]), jnp.float32),
+                jnp.zeros((W, map_state.geo_feats.shape[1]), jnp.float32),
+                jnp.zeros((W, map_state.color_feats.shape[1]), jnp.float32),
+            )
+            inner_n = jnp.minimum(n_iters, R)
+            work, mlps, _, losses = jax.lax.fori_loop(
+                0, inner_n, make_inner(c, jnp.int32(0)),
+                (
+                    work, mlps0,
+                    AdamState(zeros_like(mlps0), zeros_like(mlps0)),
+                    jnp.zeros((2,), jnp.float32),
+                ),
+            )
+            feats = (
+                map_state.geo_feats
+                .at[c["src_rows"]].set(work[0]).at[cap].set(0.0)
+            )
+            cfeats = (
+                map_state.color_feats
+                .at[c["src_rows"]].set(work[1]).at[cap].set(0.0)
+            )
+            st = accumulate_cert(
+                c, inner_n, map_state.certainty, map_state.ts_update
+            )
+            new_state = map_state._replace(
+                geo_feats=feats,
+                color_feats=cfeats,
+                certainty=st.certainty,
+                ts_update=st.ts_update,
+            )
+            mlp_out, color_mlp_out, sem_mlp_out = mlps
+            return new_state, mlp_out, color_mlp_out, sem_mlp_out, losses
+
         # slab Adam moments live as full slabs in the outer carry so they
         # persist across batch boundaries exactly like one torch.Adam per
         # mapping() call (utils/tools.py:251, utils/mapper.py:634); each
@@ -821,36 +921,10 @@ def _make_cached_mapping_fn(
                 slabs[2:],
             )
             work = work_pc + work_mv
-            grad_fn = jax.grad(make_loss_fn(c), has_aux=True)
             inner_n = jnp.minimum(R, n_iters - o * R)
-
-            def inner(i, c2):
-                (wg, wc, mg, mc, vg, vc), mlps, mlp_adam, _ = c2
-                mlp_g, color_g, sem_g = mlps
-                grads, (sdf_l, eik_l) = grad_fn(
-                    (wg, mlp_g, wc, color_g, sem_g)
-                )
-                t = (o * R + i + 1).astype(jnp.float32)
-                upd_g, a_g = _adam_update(
-                    grads[0], AdamState(mg, vg), t, lr, adam_eps
-                )
-                upd_c, a_c = _adam_update(
-                    grads[2], AdamState(mc, vc), t, lr, adam_eps
-                )
-                mlp_grads = (grads[1], grads[3], grads[4])
-                upd_m, a_m = _adam_update(
-                    mlp_grads, mlp_adam, t, lr * mlp_lr_scale, adam_eps
-                )
-                new_mlps = jax.tree.map(jnp.add, mlps, upd_m)
-                return (
-                    (wg + upd_g, wc + upd_c, a_g.m, a_c.m, a_g.v, a_c.v),
-                    new_mlps,
-                    a_m,
-                    jnp.stack([sdf_l, eik_l]),
-                )
-
             work, mlps, mlp_adam, losses = jax.lax.fori_loop(
-                0, inner_n, inner, (work, mlps, mlp_adam, jnp.zeros((2,)))
+                0, inner_n, make_inner(c, o * R),
+                (work, mlps, mlp_adam, jnp.zeros((2,))),
             )
             # write back (duplicate src_rows only at the sentinel, zeroed).
             # Moment slabs only feed the NEXT outer batch; skip their
@@ -875,18 +949,7 @@ def _make_cached_mapping_fn(
             )
             slabs = slabs_pc + slabs_mv
 
-            # certainty + update-ts once per batch, scaled by its step
-            # count (the reference scatters per query_feature call; same
-            # batch × N steps == one scatter of N·w —
-            # model/neural_points.py:708-737)
-            itf = jnp.maximum(inner_n.astype(jnp.float32), 0.0)
-            st = nm.accumulate_certainty(
-                map_state._replace(certainty=certainty, ts_update=ts_upd),
-                c["knn_idx"], c["w0"] * itf, c["ts"],
-            )
-            tap_idx_d = c["knn_idx"][::dec_step][:bd]
-            tap_w_sum = jnp.sum(c["w_tap"], axis=0) * itf  # [bd,k]
-            st = nm.accumulate_certainty(st, tap_idx_d, tap_w_sum, None)
+            st = accumulate_cert(c, inner_n, certainty, ts_upd)
             return (
                 slabs, mlps, mlp_adam,
                 st.certainty, st.ts_update, k, losses,

@@ -122,7 +122,13 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         info_scale=cfg.tracker_info_scale,
     )
 
-    mapping_body = mp.make_mapping_fn(
+    # two mapping bodies: the tracked steady path is statically a SINGLE
+    # batch per frame (max_outer=1, resample window covering the adaptive
+    # maximum iters+10) -- the r4 TPU trace showed the general dynamic
+    # outer loop spends ~27 ms/frame copying full-capacity slab carries
+    # even when only one batch runs; frame 0 (track=False, iters x40
+    # warm-up) keeps the general multi-batch body.
+    map_kw = dict(
         feature_dim=cfg.feature_dim,
         knn_k=cfg.query_nn_k,
         nb_offs=nb_offs,
@@ -152,6 +158,13 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         resample_every=cfg.map_resample_every,
         as_body=True,
     )
+    mapping_body = mp.make_mapping_fn(**map_kw)
+    fast_kw = dict(
+        map_kw,
+        resample_every=max(cfg.map_resample_every, cfg.iters + 10),
+        max_outer=1,
+    )
+    mapping_body_fast = mp.make_mapping_fn(**fast_kw)
 
     prep_bodies = {
         fp: prp.make_prep_fn(
@@ -390,7 +403,8 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
             iters = jnp.maximum(iters, 1)
 
             key, k_map = jax.random.split(key)
-            map_state, mlp, color_mlp, sem_mlp, loss2 = mapping_body(
+            map_fn = mapping_body_fast if track else mapping_body
+            map_state, mlp, color_mlp, sem_mlp, loss2 = map_fn(
                 res.map_state,
                 state.mlp,
                 state.color_mlp,

@@ -221,12 +221,15 @@ def main():
 
     # identical sequence to bench.py
     if args.large:
+        # exactly bench.py's LARGE scenario (keep in sync with
+        # bench.make_sequence)
         wrng = np.random.default_rng(11)
         seq = generate_sequence(
             n_frames=args.frames, n_azimuth=args.azimuth,
             n_elev=args.elev, noise_std=0.01, radius=32.0,
             period_frames=400.0, seed=3,
-            world=large_world(wrng, room_radius=50.0), ramp_frames=60.0,
+            world=large_world(wrng, room_radius=50.0),
+            ramp_frames=25.0, hold_frames=15.0, spin_phase=True,
         )
     else:
         seq = generate_sequence(

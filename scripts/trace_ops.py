@@ -49,31 +49,104 @@ def main():
     if not files:
         print("no xplane captured", glob.glob(f"{logdir}/**", recursive=True))
         return
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-
-    xs = xplane_pb2.XSpace()
     with open(files[0], "rb") as f:
-        xs.ParseFromString(f.read())
+        data = f.read()
+    for name, tot_ms, n in parse_xplane_top(data, top_n=45):
+        print(f"   {tot_ms:9.3f} ms  x{n:4d}  {name[:110]}")
 
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+
+# ------------------------- minimal protobuf wire parser (xplane schema) --
+# tensorflow's xplane_pb2 is not importable in this env; the wire format
+# (verified against a captured trace): XSpace{planes=1}
+# XPlane{name=2, lines=3, event_metadata=4} map entry{key=1,value=2}
+# XEventMetadata{id=1,name=2} XLine{name=2, events=4}
+# XEvent{metadata_id=1, offset_ps=2, duration_ps=3}.
+
+
+def _fields(buf):
+    """Yield (field_no, wire_type, value) from a protobuf message."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _varint(buf, i)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            v, i = buf[i : i + ln], i + ln
+        elif wt == 5:
+            v, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"wire type {wt}")
+        yield fno, wt, v
+
+
+def _varint(buf, i):
+    r = s = 0
+    while True:
+        b = buf[i]
+        r |= (b & 0x7F) << s
+        i += 1
+        if not b & 0x80:
+            return r, i
+        s += 7
+
+
+def parse_xplane_top(data, top_n=45):
+    out = []
+    for fno, wt, plane in _fields(data):
+        if fno != 1:
             continue
-        print(f"== plane: {plane.name}")
-        ev_meta = plane.event_metadata
-        stats_meta = plane.stat_metadata
+        name = b""
+        meta = {}
+        lines = []
+        for f2, _, v2 in _fields(plane):
+            if f2 == 2:
+                name = v2
+            elif f2 == 3:
+                lines.append(v2)
+            elif f2 == 4:  # map<int64, XEventMetadata>
+                k = mv = None
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        k = v3
+                    elif f3 == 2:
+                        mv = v3
+                if mv is not None:
+                    mname = b""
+                    mid = k or 0
+                    for f4, _, v4 in _fields(mv):
+                        if f4 == 1:
+                            mid = v4
+                        elif f4 == 2:
+                            mname = v4
+                    meta[mid] = mname.decode(errors="replace")
+        pname = name.decode(errors="replace")
+        if "TPU" not in pname and "tpu" not in pname.lower():
+            continue
+        print(f"== plane: {pname}")
         tot = defaultdict(float)
         cnt = defaultdict(int)
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
-                dur = ev.duration_ps / 1e9  # ms
-                tot[name] += dur
-                cnt[name] += 1
-        top = sorted(tot.items(), key=lambda kv: -kv[1])[:45]
+        for ln in lines:
+            for f3, _, v3 in _fields(ln):
+                if f3 != 4:
+                    continue
+                mid = dur = 0
+                for f4, _, v4 in _fields(v3):
+                    if f4 == 1:
+                        mid = v4
+                    elif f4 == 3:
+                        dur = v4
+                nm = meta.get(mid, f"#{mid}")
+                tot[nm] += dur / 1e9
+                cnt[nm] += 1
         total = sum(tot.values())
         print(f"   total event time {total:.1f} ms over 3 frames")
-        for name, ms in top:
-            print(f"   {ms:9.3f} ms  x{cnt[name]:4d}  {name[:110]}")
+        for nm, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top_n]:
+            out.append((nm, ms, cnt[nm]))
+    return out
 
 
 if __name__ == "__main__":

@@ -196,6 +196,70 @@ def test_moment_io_gating_matches_ungated_with_multiple_outer_batches():
     np.testing.assert_array_equal(np.asarray(loss_g), np.asarray(loss_u))
 
 
+def test_single_batch_mapping_matches_general_path():
+    """max_outer=1 (static single-batch, no full-capacity moment slabs)
+    must be bit-equal to the general dynamic-outer path whenever
+    iter_count <= resample_every (the steady-state regime the streaming
+    loop runs it in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clid_slam_tpu.mapping import mapper as mp
+    from clid_slam_tpu.mapping import pool as pl
+    from clid_slam_tpu.models import decoder as dec
+    from clid_slam_tpu.models import neural_map as nm
+    from clid_slam_tpu.ops.voxel import neighbor_offsets
+
+    rng = np.random.default_rng(5)
+    pts = _surround_scan(rng, n=1024, radius=4.0)
+    F, KNN, RES = 8, 6, 0.3
+    travel = jnp.zeros((8,), jnp.float32)
+    lbl = rng.normal(0, 0.1, 1024).astype(np.float32)
+    wgt = np.ones(1024, np.float32)
+    nb = neighbor_offsets(2, 0.5)
+
+    def run(max_outer):
+        nmap = nm.init_map(1 << 11, 1 << 13, F)
+        nmap, _ = nm.insert_points(
+            nmap, jnp.asarray(pts), jnp.ones((1024,), bool), RES, travel, 0, 1e9
+        )
+        pool = pl.init_pool(1 << 13, 1 << 13)
+        pool = pl.append_samples(
+            pool, jnp.asarray(pts), jnp.asarray(lbl), jnp.asarray(wgt),
+            jnp.ones((1024,), bool), 0, jnp.zeros((1024,), bool),
+        )
+        mlp = dec.init_mlp(jax.random.PRNGKey(1), F + 3, 32, 1)
+        cmlp = dec.init_mlp(jax.random.PRNGKey(2), F + 3, 32, 1)
+        smlp = dec.init_mlp(jax.random.PRNGKey(3), F + 3, 32, 1)
+        mapping = mp.make_mapping_fn(
+            feature_dim=F, knn_k=KNN, nb_offs=nb, resolution=RES,
+            max_valid_dist2=3.0 * (3 * RES) ** 2,
+            sdf_scale=0.055, sigma=0.055,
+            bs=256, bs_new=0, gradient_decimation=8,
+            num_grad_eps=RES * 0.2, weight_e=0.5, loss_weight_on=True,
+            lr=0.01, adam_eps=1e-15,
+            resample_every=12, max_outer=max_outer,
+        )
+        st, mlp, _, _, losses = mapping(
+            nmap, mlp, cmlp, smlp, pool, travel, 0, 1e9,
+            jax.random.PRNGKey(4), 9, 1.0,
+        )
+        return (
+            np.asarray(st.geo_feats),
+            np.asarray(st.certainty),
+            jax.tree.map(np.asarray, mlp),
+            np.asarray(losses),
+        )
+
+    fg, cg, mg, lg = run(0)
+    ff, cf, mf, lf = run(1)
+    np.testing.assert_array_equal(fg, ff)
+    np.testing.assert_array_equal(cg, cf)
+    np.testing.assert_array_equal(lg, lf)
+    for a, b in zip(jax.tree.leaves(mg), jax.tree.leaves(mf)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_mapping_runs_with_each_loss_type():
     """The cached production mapping path compiles + steps under every
     supported loss type (ref utils/mapper.py:750-766 switch)."""
