@@ -258,6 +258,11 @@ class Config:
     # Adam steps per fresh batch+probe in the cached mapping loop
     # (1 = fresh batch every step, the reference cadence)
     map_resample_every: int = 10
+    # expanded-duplicates mapping (mapper.py dup_independent docstring):
+    # the streaming fast path trains the [bs,k] kNN references as
+    # independent parameters and writes back per-point means once per
+    # frame -- zero per-iteration gathers/scatters
+    map_dup_independent: bool = True
     # tracker iteration after which the f32 stagnation exit may fire;
     # set >= reg_iter_n to disable
     stagnation_iter: int = 10

@@ -187,7 +187,7 @@ class SlamSystem:
         # decode-then-weight mode + per-point sdf-std tracker gate
         # (utils/error_state_iekf.py:217-241)
         max_sdf_std = cfg.surface_sample_range_m * cfg.max_sdf_std_ratio
-        self.mapping_fn = mp.make_mapping_fn(
+        _map_kw = dict(
             feature_dim=cfg.feature_dim,
             knn_k=cfg.query_nn_k,
             nb_offs=self.nb_offs,
@@ -216,6 +216,19 @@ class SlamSystem:
             weighted_first=cfg.weighted_first,
             layer_norm=cfg.layer_norm_on,
             resample_every=cfg.map_resample_every,
+        )
+        self.mapping_fn = mp.make_mapping_fn(**_map_kw)
+        # steady-frame fast body: same semantics as the streaming loop
+        # (static single batch, expanded-duplicate training when
+        # cfg.map_dup_independent); frame 0 keeps the general multi-batch
+        # path for the x40 warm-up
+        self.mapping_fn_fast = mp.make_mapping_fn(
+            **dict(
+                _map_kw,
+                resample_every=max(cfg.map_resample_every, cfg.iters + 10),
+                max_outer=1,
+                dup_independent=cfg.map_dup_independent,
+            )
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(
             knn_k=cfg.query_nn_k,
@@ -489,7 +502,7 @@ class SlamSystem:
             self.color_mlp,
             self.sem_mlp,
             losses,
-        ) = self.mapping_fn(
+        ) = (self.mapping_fn if frame_id == 0 else self.mapping_fn_fast)(
             self.map_state,
             self.mlp,
             self.color_mlp,

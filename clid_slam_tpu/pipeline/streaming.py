@@ -163,6 +163,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         map_kw,
         resample_every=max(cfg.map_resample_every, cfg.iters + 10),
         max_outer=1,
+        dup_independent=cfg.map_dup_independent,
     )
     mapping_body_fast = mp.make_mapping_fn(**fast_kw)
 
