@@ -96,7 +96,9 @@ class ShardedSlamSystem:
             cfg.geo_mlp_level, 1, cfg.mlp_bias_on,
         )
 
-        self.insert_fn, self.query_fn, self.mapping_fn = sp.make_spatial_fns(
+        (
+            self.insert_fn, self.query_fn, self.mapping_fn,
+        ) = sp.make_spatial_fns(
             self.mesh,
             feature_dim=cfg.feature_dim,
             knn_k=cfg.query_nn_k,
@@ -117,6 +119,33 @@ class ShardedSlamSystem:
             mlp_leaky=cfg.mlp_leaky_relu,
             mlp_bf16=cfg.mlp_bf16,
             encode_vecs=self.encode_vecs,
+        )
+        # frame-0 warm-up (iters x init_iter_ratio) needs fresh batches
+        # per iteration -- the uncached chunked body resamples every step
+        # (the cached body freezes ONE batch per call, right for steady
+        # 10-20 iteration frames, wrong for a 400-iteration warm-up)
+        _, _, self.mapping_fn_init = sp.make_spatial_fns(
+            self.mesh,
+            feature_dim=cfg.feature_dim,
+            knn_k=cfg.query_nn_k,
+            nb_offs=self.nb_offs,
+            resolution=cfg.voxel_size_m,
+            max_valid_dist2=self.max_valid_dist2,
+            sdf_scale=cfg.sdf_scale,
+            sigma=cfg.sdf_scale,
+            loss_type=cfg.main_loss_type,
+            bs=cfg.bs,
+            bs_new=cfg.bs_new_sample,
+            gradient_decimation=cfg.gradient_decimation,
+            num_grad_eps=cfg.num_grad_eps,
+            weight_e=cfg.weight_e,
+            loss_weight_on=cfg.loss_weight_on,
+            lr=cfg.lr,
+            adam_eps=cfg.adam_eps,
+            mlp_leaky=cfg.mlp_leaky_relu,
+            mlp_bf16=cfg.mlp_bf16,
+            encode_vecs=self.encode_vecs,
+            batch_shard="uncached",
         )
         cached_body = iekf.make_cached_update_fn(
             knn_k=cfg.query_nn_k,
@@ -329,7 +358,8 @@ class ShardedSlamSystem:
         iters = max(1, iters + self.adaptive_iter_offset)
         mlp_scale = 0.0 if frame_id >= cfg.freeze_after_frame else 1.0
         self.key, k = jax.random.split(self.key)
-        self.map_state, self.mlp, self._last_losses = self.mapping_fn(
+        map_fn = self.mapping_fn if frame_id > 0 else self.mapping_fn_init
+        self.map_state, self.mlp, self._last_losses = map_fn(
             self.map_state, self.mlp, self.pool, self.travel_dist_dev,
             frame_id, cfg.diff_travel_dist_local, k, iters, mlp_scale,
         )

@@ -117,9 +117,15 @@ def main():
             "reduction": round(old_b / new_b, 2),
         },
         "note": (
-            "virtual CPU mesh (8 local devices); same program/mesh on a "
-            "TPU pod — step here is compute-dominated, so efficiency "
-            "reflects sharding overhead, not ICI"
+            "virtual CPU mesh: S virtual devices timeshare the SAME "
+            "2 physical cores, so step_ms measures TOTAL work across "
+            "shards - flat step_ms here means per-shard work ~1/S, i.e. "
+            "linear wall-clock scaling on real chips; efficiency_vs_1dev "
+            "= step_1dev/step_Sdev is therefore a LOWER bound on real "
+            "scaling efficiency (collectives here are memcpys, ICI adds "
+            "its own cost on a pod). r4 cached DP x SP mapping: one "
+            "collective probe per call + per-iteration psum_scatter of "
+            "the [bs,k,F] feature payload, MLP/losses on bs/S per shard"
         ),
     }
     print(json.dumps(out))

@@ -172,3 +172,63 @@ def test_sharded_training_learns(mesh, fns, rng):
 
     # certainty accumulated on the owning shards
     assert float(np.asarray(sstate.certainty).sum()) > 0
+
+
+def test_batch_sharded_matches_replicated(mesh, rng):
+    """The DP x SP batch-sharded mapping (psum_scatter combine, per-chunk
+    MLP/loss, psum'd MLP grads) must match the replicated-batch body
+    numerically — this pins the collective-transpose gradient routing
+    (every chunk's feature cotangent reaching every owning shard)."""
+    from clid_slam_tpu.mapping import pool as pl
+
+    n = 4096
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    off = rng.uniform(-0.3, 0.3, size=(n, 1)).astype(np.float32)
+    coords = ((4.0 + off) * dirs).astype(np.float32)
+    sdf_label = off[:, 0]
+    travel = jnp.zeros((8,), jnp.float32)
+    surf = np.abs(sdf_label) < 0.1
+
+    kw = dict(
+        feature_dim=F, knn_k=KNN, nb_offs=NB, resolution=RES,
+        max_valid_dist2=MVD2, sdf_scale=0.055, sigma=0.055,
+        bs=1024, bs_new=0, gradient_decimation=8, num_grad_eps=RES * 0.2,
+        weight_e=0.5, loss_weight_on=True, lr=0.02,
+    )
+
+    def run(batch_shard):
+        insert_fn, _, mapping_fn = sp.make_spatial_fns(
+            mesh, batch_shard=batch_shard, **kw
+        )
+        sstate = sp.init_sharded_map(mesh, 1 << 12, 1 << 14, F)
+        sstate, _ = insert_fn(
+            sstate, jnp.asarray(coords), jnp.asarray(surf), travel, 0, 1e9
+        )
+        pool = pl.init_pool(1 << 13, 1 << 13)
+        pool = pl.append_samples(
+            pool, jnp.asarray(coords), jnp.asarray(sdf_label),
+            jnp.ones((n,), jnp.float32), jnp.ones((n,), bool), 0,
+            jnp.zeros((n,), bool),
+        )
+        mlp = dec.init_mlp(jax.random.PRNGKey(1), F + 3, 64, 1)
+        sstate, mlp, losses = mapping_fn(
+            sstate, mlp, pool, travel, 0, 1e9, jax.random.PRNGKey(2), 5, 1.0
+        )
+        return sstate, mlp, np.asarray(losses)
+
+    st_r, mlp_r, l_r = run(False)
+    st_s, mlp_s, l_s = run(True)
+    np.testing.assert_allclose(l_s, l_r, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_s.geo_feats), np.asarray(st_r.geo_feats),
+        rtol=2e-3, atol=2e-4,
+    )
+    for a, b in zip(jax.tree.leaves(mlp_s), jax.tree.leaves(mlp_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_s.certainty), np.asarray(st_r.certainty),
+        rtol=2e-3, atol=2e-3,
+    )
