@@ -263,6 +263,10 @@ class Config:
     # independent parameters and writes back per-point means once per
     # frame -- zero per-iteration gathers/scatters
     map_dup_independent: bool = True
+    # run the whole mapping inner loop as ONE Pallas TPU kernel
+    # (ops/pallas_mapping.py; requires dup_independent; auto-falls back
+    # to the XLA loop off-TPU or for ineligible configs)
+    map_pallas: bool = True
     # tracker iteration after which the f32 stagnation exit may fire;
     # set >= reg_iter_n to disable
     stagnation_iter: int = 10

@@ -145,6 +145,7 @@ def make_mapping_fn(
     gate_moment_io: bool = True,
     max_outer: int = 0,
     dup_independent: bool = False,
+    use_pallas: bool = False,
 ):
     """Build the jitted per-frame map optimization function
     (``as_body=True``: unjitted, for fusion into a larger step).
@@ -210,6 +211,7 @@ def make_mapping_fn(
             gate_moment_io=gate_moment_io,
             max_outer=max_outer,
             dup_independent=dup_independent,
+            use_pallas=use_pallas,
         )
 
     def query_sdf(map_state, feats, mlp, pts, travel_dist, cur_ts, window):
@@ -511,8 +513,15 @@ def _make_cached_mapping_fn(
     gate_moment_io=True,
     max_outer=0,
     dup_independent=False,
+    use_pallas=False,
 ):
     """Candidate-cached mapping: see make_mapping_fn docstring.
+
+    ``use_pallas=True`` (with dup_independent) runs the ENTIRE inner Adam
+    loop as ONE Pallas TPU kernel (ops/pallas_mapping.py): features +
+    moments VMEM-resident in dense feature-major layout, MLP on the MXU,
+    manual backward, zero per-iteration HBM traffic. Eligibility is
+    checked statically; ineligible configs silently use the XLA loop.
 
     ``dup_independent=True`` (requires max_outer=1) trains the EXPANDED
     [bs, k, F] kNN references as independent parameters for the frame's
@@ -654,30 +663,30 @@ def _make_cached_mapping_fn(
             # write-back below restores global state once per batch. Exact:
             # Adam moments start at zero each frame, so untouched rows are
             # no-ops in the reference formulation too.
-            touched = jnp.zeros((cap + 1,), jnp.int32).at[
-                safe.reshape(-1)
-            ].set(1)
-            loc = jnp.cumsum(touched) - 1  # [cap+1] local id per global row
-            local_idx = loc[safe]  # [bs,k] in [0,W)
-            # manual compaction instead of jnp.nonzero(size=W): the
-            # nonzero lowering lands on a serial scatter path inside the
-            # fused step (r3 trace: 9.2 ms/frame); this explicit
-            # drop-scatter of the same data stays vectorized
-            tgt = jnp.where(touched > 0, loc, jnp.int32(2_000_000_000))
-            # NOTE: no unique_indices — untouched rows share the OOB
-            # sentinel, and whether mode="drop" filters before or after the
-            # uniqueness contract applies is implementation-defined in the
-            # scatter spec. In-bounds targets ARE unique (cumsum ids), so
-            # the scatter costs the same either way.
-            src_rows = jnp.full((W,), cap, jnp.int32).at[tgt].set(
-                jnp.arange(cap + 1, dtype=jnp.int32),
-                mode="drop",
+            # compaction via sorted runs over the [bs*k] batch references
+            # (the r3 design ran a scatter + cumsum + gather over the FULL
+            # [capacity+1] axis -- 6 ms/frame in the r4 trace; everything
+            # here is O(bs*k)). Sorting the global rows groups duplicates
+            # into contiguous runs; the run id IS the compact local id,
+            # ordered by ascending global row exactly like the cumsum
+            # formulation, and the sorted order doubles as the
+            # _slab_gather_sorted transpose permutation.
+            flat_g = safe.reshape(-1)  # [bs*k] global rows (cap=invalid)
+            order = jnp.argsort(flat_g)
+            sorted_g = flat_g[order]
+            newrun = jnp.concatenate([
+                jnp.ones((1,), bool), sorted_g[1:] != sorted_g[:-1]
+            ])
+            runid = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # [bs*k]
+            sorted_idx = runid  # ascending local ids, [0,0,..,1,..]
+            local_idx = (
+                jnp.zeros((flat_g.shape[0],), jnp.int32)
+                .at[order].set(runid)
+                .reshape(safe.shape)
             )
-            # frame-constant sorted order of the batch's slab references,
-            # for the sorted-transpose gather (_slab_gather_sorted)
-            flat_idx = local_idx.reshape(-1)
-            order = jnp.argsort(flat_idx)
-            sorted_idx = flat_idx[order]
+            src_rows = jnp.full((W,), cap, jnp.int32).at[
+                jnp.where(newrun, runid, jnp.int32(2_000_000_000))
+            ].set(sorted_g, mode="drop")
             # the encoded-vector half of every feature is frame-constant
             # (it never depends on the trainable features), so its
             # IDW-weighted sum is hoisted out of the Adam loop entirely
@@ -819,6 +828,97 @@ def _make_cached_mapping_fn(
         mlps0 = (mlp, color_mlp, sem_mlp)
         zeros_like = lambda tr: jax.tree.map(jnp.zeros_like, tr)
 
+        _pallas_cache = {}
+
+        def _run_pallas_loop(c, f0, mlp_, inner_n, mlp_lr_scale):
+            """Kernel-layout marshalling around ops/pallas_mapping."""
+            import numpy as _np
+
+            from ..ops.pallas_mapping import make_pallas_map_loop
+
+            K_, F_ = knn_k, feature_dim
+            P_ = c["encw0"].shape[1]
+            H_ = mlp_.weights[0].shape[1]
+            BD_ = ((bd + 127) // 128) * 128
+            if "run" not in _pallas_cache:
+                _pallas_cache["run"] = make_pallas_map_loop(
+                    bs=bs, knn_k=K_, feature_dim=F_, pos_dim=P_,
+                    hidden=H_, bd=bd, dec_step=dec_step,
+                    sdf_scale=sdf_scale, sigma=sigma, lr=lr,
+                    adam_eps=adam_eps, weight_e=weight_e,
+                    num_grad_eps=num_grad_eps,
+                    chunk=min(4096, bs),
+                    # interpreter off-TPU so CPU tests exercise the same
+                    # marshalling + kernel math
+                    interpret=jax.default_backend() != "tpu",
+                )
+                tap_rows = _np.arange(0, bs, dec_step)[:bd]
+                rest = _np.setdiff1d(_np.arange(bs), tap_rows)
+                perm = _np.concatenate([tap_rows, rest]).astype(_np.int32)
+                _pallas_cache["perm"] = jnp.asarray(perm)
+                _pallas_cache["inv"] = jnp.asarray(
+                    _np.argsort(perm).astype(_np.int32)
+                )
+            run_k = _pallas_cache["run"]
+            perm = _pallas_cache["perm"]
+            inv = _pallas_cache["inv"]
+
+            f0p = f0[perm]  # [bs,k,F] tap rows leading
+            fT = f0p.transpose(1, 2, 0).reshape(K_ * F_, bs)
+            w0p = c["w0"][perm]
+            encp = c["encw0"][perm]
+            lblp = c["label"][perm]
+            wgtp = c["weight"][perm]
+            bvp = c["bvalid"][perm]
+            label_op = jax.nn.sigmoid(lblp / sigma)
+            wsel = (
+                jnp.abs(wgtp) * bvp if loss_weight_on else bvp
+            )
+            w0T = jnp.zeros((8, bs), jnp.float32).at[:K_].set(w0p.T)
+            encw0T = jnp.zeros((8, bs), jnp.float32).at[:P_].set(encp.T)
+            rowsT = (
+                jnp.zeros((8, bs), jnp.float32)
+                .at[0].set(label_op).at[1].set(wsel)
+            )
+            ru = lambda x: ((x + 7) // 8) * 8
+            wtapT = jnp.zeros(
+                (ru(6 * K_), BD_), jnp.float32
+            ).at[: 6 * K_, :bd].set(
+                c["w_tap"].transpose(0, 2, 1).reshape(6 * K_, bd)
+            )
+            enctapwT = jnp.zeros(
+                (ru(6 * P_), BD_), jnp.float32
+            ).at[: 6 * P_, :bd].set(
+                c["enc_tapw"].transpose(0, 2, 1).reshape(6 * P_, bd)
+            )
+            vdT = jnp.zeros((8, BD_), jnp.float32).at[0, :bd].set(c["vd"])
+            W1p = jnp.zeros((16, H_), jnp.float32).at[: F_ + P_].set(
+                mlp_.weights[0]
+            )
+            b1v = mlp_.biases[0][:, None]
+            WoutT8 = jnp.zeros((8, H_), jnp.float32).at[0].set(
+                mlp_.w_out[:, 0]
+            )
+            boutA = mlp_.b_out.reshape(1, 1)
+            denom = jnp.clip(jnp.sum(bvp), 1.0)
+            eik_den = jnp.clip(jnp.sum(c["vd"]), 1.0)
+
+            fT2, W1p2, b1v2, WoutT2, bout2, losses = run_k(
+                fT, w0T, encw0T, rowsT, wtapT, enctapwT, vdT,
+                W1p, b1v, WoutT8, boutA,
+                inner_n, lr * mlp_lr_scale, 1.0 / denom, 1.0 / eik_den,
+            )
+            f_new = (
+                fT2.reshape(K_, F_, bs).transpose(2, 0, 1)[inv]
+            )
+            mlp_new = dec.MLPParams(
+                weights=[W1p2[: F_ + P_]],
+                biases=[b1v2[:, 0]],
+                w_out=WoutT2[0][:, None],
+                b_out=bout2.reshape(mlp_.b_out.shape),
+            )
+            return f_new, mlp_new, losses.reshape(2)
+
         def make_inner(c, o_base, expanded=False):
             grad_fn = jax.grad(make_loss_fn(c, expanded), has_aux=True)
 
@@ -863,14 +963,33 @@ def _make_cached_mapping_fn(
             tap_w_sum = jnp.sum(c["w_tap"], axis=0) * itf  # [bd,k]
             return nm.accumulate_certainty(st, tap_idx_d, tap_w_sum, None)
 
+        def _pallas_eligible(mlp_):
+            return (
+                use_pallas
+                and not color_on and not sem_on
+                and weighted_first and not layer_norm
+                and not mlp_bf16 and not mlp_leaky
+                and loss_type == "bce"
+                and feature_dim == 8
+                and bs % 4096 == 0
+                and len(mlp_.weights) == 1
+            )
+
         if max_outer == 1 and dup_independent:
             # expanded-duplicates path: pure dense inner loop (docstring)
             key, kb = jax.random.split(key)
             c = build_cache(kb)
             work0_g = map_state.geo_feats[c["src_rows"]]
-            work0_c = map_state.color_feats[c["src_rows"]]
             f0 = work0_g[c["safe"]]  # [bs,k,F]
-            c0 = work0_c[c["safe"]]  # [bs,k,Fc]
+            if color_on:
+                work0_c = map_state.color_feats[c["src_rows"]]
+                c0 = work0_c[c["safe"]]  # [bs,k,Fc]
+            else:
+                # color off: the loss never reads color features, so give
+                # the loop a [1,1] dummy instead of training a dead
+                # [bs,k,1] channel (measured 6 ms/frame of pure Adam
+                # waste in the r4 trace)
+                c0 = jnp.zeros((1, 1), jnp.float32)
             counts = _sorted_scatter_add(
                 jnp.ones(c["safe"].shape + (1,), jnp.float32),
                 W, c["order"], c["sorted_idx"],
@@ -881,28 +1000,40 @@ def _make_cached_mapping_fn(
                 jnp.zeros_like(f0), jnp.zeros_like(c0),
             )
             inner_n = jnp.minimum(n_iters, R)
-            work, mlps, _, losses = jax.lax.fori_loop(
-                0, inner_n, make_inner(c, jnp.int32(0), expanded=True),
-                (
-                    work, mlps0,
-                    AdamState(zeros_like(mlps0), zeros_like(mlps0)),
-                    jnp.zeros((2,), jnp.float32),
-                ),
-            )
+            if _pallas_eligible(mlp):
+                f_new, mlp_new, losses = _run_pallas_loop(
+                    c, f0, mlp, inner_n, mlp_lr_scale,
+                )
+                work = (f_new, c0) + work[2:]
+                mlps = (mlp_new, color_mlp, sem_mlp)
+            else:
+                work, mlps, _, losses = jax.lax.fori_loop(
+                    0, inner_n, make_inner(c, jnp.int32(0), expanded=True),
+                    (
+                        work, mlps0,
+                        AdamState(zeros_like(mlps0), zeros_like(mlps0)),
+                        jnp.zeros((2,), jnp.float32),
+                    ),
+                )
             rows_g = work0_g + _sorted_scatter_add(
                 work[0] - f0, W, c["order"], c["sorted_idx"]
             ) / jnp.clip(counts, 1.0)
-            rows_c = work0_c + _sorted_scatter_add(
-                work[1] - c0, W, c["order"], c["sorted_idx"]
-            ) / jnp.clip(counts, 1.0)
             feats = (
                 map_state.geo_feats
-                .at[c["src_rows"]].set(rows_g).at[cap].set(0.0)
+                .at[c["src_rows"]].set(rows_g, indices_are_sorted=True)
+                .at[cap].set(0.0)
             )
-            cfeats = (
-                map_state.color_feats
-                .at[c["src_rows"]].set(rows_c).at[cap].set(0.0)
-            )
+            if color_on:
+                rows_c = work0_c + _sorted_scatter_add(
+                    work[1] - c0, W, c["order"], c["sorted_idx"]
+                ) / jnp.clip(counts, 1.0)
+                cfeats = (
+                    map_state.color_feats
+                    .at[c["src_rows"]].set(rows_c, indices_are_sorted=True)
+                    .at[cap].set(0.0)
+                )
+            else:
+                cfeats = map_state.color_feats
             st = accumulate_cert(
                 c, inner_n, map_state.certainty, map_state.ts_update
             )
@@ -939,11 +1070,13 @@ def _make_cached_mapping_fn(
             )
             feats = (
                 map_state.geo_feats
-                .at[c["src_rows"]].set(work[0]).at[cap].set(0.0)
+                .at[c["src_rows"]].set(work[0], indices_are_sorted=True)
+                .at[cap].set(0.0)
             )
             cfeats = (
                 map_state.color_feats
-                .at[c["src_rows"]].set(work[1]).at[cap].set(0.0)
+                .at[c["src_rows"]].set(work[1], indices_are_sorted=True)
+                .at[cap].set(0.0)
             )
             st = accumulate_cert(
                 c, inner_n, map_state.certainty, map_state.ts_update
@@ -1014,14 +1147,16 @@ def _make_cached_mapping_fn(
                 else jnp.bool_(False)
             )
             slabs_pc = tuple(
-                s.at[c["src_rows"]].set(w).at[cap].set(0.0)
+                s.at[c["src_rows"]].set(w, indices_are_sorted=True)
+                .at[cap].set(0.0)
                 for s, w in zip(slabs[:2], work[:2])
             )
             slabs_mv = jax.lax.cond(
                 last,
                 lambda sw: sw[0],
                 lambda sw: tuple(
-                    s.at[c["src_rows"]].set(w).at[cap].set(0.0)
+                    s.at[c["src_rows"]].set(w, indices_are_sorted=True)
+                .at[cap].set(0.0)
                     for s, w in zip(sw[0], sw[1])
                 ),
                 (slabs[2:], work[2:]),

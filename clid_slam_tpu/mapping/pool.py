@@ -168,11 +168,23 @@ def append_samples(
             jnp.zeros_like(sdf)]
     if color is not None:
         cols += [color[:, c] for c in range(color.shape[1])]
+    # sort the target slots once and scatter monotonically: the unsorted
+    # column scatters ran ~0.8 GB/s inside the fused step (r4 trace,
+    # 1.3 ms per column x 9); sorted scatters take the segmented fast
+    # path (same trick as mapper._sorted_scatter_add). Duplicate slots
+    # (eviction collisions / dropped sentinels) keep last-writer-wins in
+    # the original order because argsort is stable.
+    order = jnp.argsort(slot)
+    slot_s = slot[order]
     data = pool.data
     for c in range(d):
         v = cols[c] if c < len(cols) else jnp.zeros_like(sdf)
-        data = data.at[slot, c].set(v, mode="drop")
-    valid_arr = pool.valid.at[slot].set(True, mode="drop")
+        data = data.at[slot_s, c].set(
+            v[order], mode="drop", indices_are_sorted=True
+        )
+    valid_arr = pool.valid.at[slot_s].set(
+        True, mode="drop", indices_are_sorted=True
+    )
     # overflow evictions reuse live slots and do not grow the pool
     n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))
 

@@ -228,6 +228,8 @@ class SlamSystem:
                 resample_every=max(cfg.map_resample_every, cfg.iters + 10),
                 max_outer=1,
                 dup_independent=cfg.map_dup_independent,
+                use_pallas=cfg.map_pallas
+                and jax.default_backend() == "tpu",
             )
         )
         self.h_reduce_core = iekf.make_h_reduce_fn(

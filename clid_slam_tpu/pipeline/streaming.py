@@ -164,6 +164,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
         resample_every=max(cfg.map_resample_every, cfg.iters + 10),
         max_outer=1,
         dup_independent=cfg.map_dup_independent,
+        use_pallas=cfg.map_pallas and jax.default_backend() == "tpu",
     )
     mapping_body_fast = mp.make_mapping_fn(**fast_kw)
 
