@@ -785,6 +785,41 @@ class StreamingSlam:
         (keeps the pipelined dispatch mode engaged)."""
         jax.block_until_ready(self.state.pos)
 
+    # ------------------------------------------------- checkpoint / resume
+    def save_checkpoint(self, path: str):
+        """Persist the ENTIRE recurrent device state (IESEKF, odometry
+        bookkeeping, neural map, local map, replay pool, decoders, RNG,
+        diagnostics) as one compressed npz. The zero-readback design makes
+        this trivial and complete: StreamState IS the whole system, so a
+        resumed run continues mid-sequence exactly
+        (tests/test_streaming.py::test_streaming_checkpoint_resume).
+        Analog of utils/tools.py:347-378, which only saves the model at
+        the END of a run."""
+        self.block()
+        leaves = jax.tree_util.tree_leaves(self.state)
+        np.savez_compressed(
+            path,
+            n_leaves=len(leaves),
+            processed=self.processed,
+            **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore a save_checkpoint snapshot into this (same-config)
+        system and continue with process_frame(frame_id, ...) from where
+        the saved run stopped."""
+        z = np.load(path)
+        n = int(z["n_leaves"])
+        treedef = jax.tree_util.tree_structure(self.state)
+        if treedef.num_leaves != n:
+            raise ValueError(
+                f"checkpoint has {n} state leaves, this config builds "
+                f"{treedef.num_leaves} — config mismatch"
+            )
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.processed = int(z["processed"])
+
     # ------------------------------------------------------------- results
     def sync(self) -> dict:
         """Materialize results on host (first device->host read)."""

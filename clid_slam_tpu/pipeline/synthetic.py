@@ -246,15 +246,29 @@ def generate_sequence(
     hold_frames: float = 0.0,
     spin_phase: bool = False,
     world: SyntheticWorld = None,
+    gyro_bias=None,  # [3] rad/s constant bias added to the gyro output
+    accel_bias=None,  # [3] m/s^2 constant bias added to the accel output
+    imu_noise_std: float = 0.0,  # white noise on both IMU channels
+    moving_pillars=None,  # [(cx0, cy0, vx, vy, r)] linearly moving
 ) -> SyntheticSequence:
     """``spin_phase=True`` drifts the azimuth grid by the golden-ratio
     fraction of one step per frame (a low-discrepancy model of real spin
-    phase drift) so consecutive frames never sample identical rays."""
+    phase drift) so consecutive frames never sample identical rays.
+
+    Stress options (r4, VERDICT item 9): gyro_bias/accel_bias inject
+    constant sensor biases (the filter's bg/ba states should converge to
+    them); imu_noise_std adds white noise; moving_pillars are dynamic
+    objects sweeping the scene (the dynamic filter's workload — their
+    returns are inconsistent with the static map)."""
     rng = np.random.default_rng(seed)
     if world is None:
         world = SyntheticWorld()
     poses, omegas, accels = circular_trajectory(
         n_frames, radius, period_frames, frame_dt, ramp_frames, hold_frames
+    )
+    gyro_bias = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
+    accel_bias = (
+        np.zeros(3) if accel_bias is None else np.asarray(accel_bias)
     )
 
     scans = []
@@ -264,7 +278,21 @@ def generate_sequence(
         dirs_body = lidar_directions(n_azimuth, n_elev, az_phase=phase)
         R, p = poses[i, :3, :3], poses[i, :3, 3]
         dirs_w = dirs_body @ R.T
-        t = world.raycast(p, dirs_w)
+        frame_world = world
+        if moving_pillars:
+            t_now = i * frame_dt
+            extra = [
+                (cx + vx * t_now, cy + vy * t_now, r)
+                for cx, cy, vx, vy, r in moving_pillars
+            ]
+            frame_world = SyntheticWorld(
+                room_radius=world.room_radius,
+                floor_z=world.floor_z,
+                ceil_z=world.ceil_z,
+                pillars=list(world.pillars) + extra,
+                boxes=list(world.boxes),
+            )
+        t = frame_world.raycast(p, dirs_w)
         hit = np.isfinite(t) & (t < 60.0) & (t > 0.5)
         pts_body = dirs_body[hit] * t[hit][:, None]
         if noise_std > 0:
@@ -287,6 +315,11 @@ def generate_sequence(
                     t_mid, radius, w_max,
                     ramp_frames * frame_dt, hold_frames * frame_dt,
                 )
+                a = a + accel_bias
+                g = g + gyro_bias
+                if imu_noise_std > 0:
+                    a = a + rng.normal(0, imu_noise_std, 3)
+                    g = g + rng.normal(0, imu_noise_std, 3)
                 rows[j] = [dt, a[0], a[1], a[2], g[0], g[1], g[2]]
             imu_windows.append(rows)
     return SyntheticSequence(poses, scans, imu_windows, world)

