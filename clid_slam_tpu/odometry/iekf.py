@@ -520,7 +520,7 @@ def make_cached_update_fn(
         if map_state.hash_table.shape[0] > (1 << 24):
             raise ValueError(
                 "cached tracker packs hash ids through f32; "
-                f"map_hash_size {map_state.hash_to_slot.shape[0]} > 2^24 "
+                f"map_hash_size {map_state.hash_table.shape[0]} > 2^24 "
                 "would silently corrupt candidate gathers — use the "
                 "uncached tracker (track_cached: false) or a smaller hash"
             )

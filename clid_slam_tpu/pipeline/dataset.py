@@ -382,6 +382,14 @@ class SLAMDataset:
         if self.gt_pose_provided and n > 2:
             gt = self.gt_poses[:n]
             result.update(metrics.absolute_error(odom, gt))
+            # Horn alignment is degenerate on short / low-spread
+            # trajectories (a large best-fit rotation can slightly reduce
+            # position RMSE on an arc while wrecking the rotation error);
+            # odometry runs share the gt frame anyway, so also report the
+            # unaligned numbers (the bench headline uses these)
+            na = metrics.absolute_error(odom, gt, align=False)
+            result["ate_rmse_m_noalign"] = na["ate_rmse_m"]
+            result["are_rmse_deg_noalign"] = na["are_rmse_deg"]
             result.update(metrics.relative_error(gt, odom))
         if self.time_table:
             tt = np.asarray(self.time_table)

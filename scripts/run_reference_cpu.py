@@ -210,8 +210,9 @@ def main():
     ap.add_argument("--seed", type=int, default=None,
                     help="override config.seed (decoder init / sampling)")
     ap.add_argument("--large", action="store_true",
-                    help="bench.py's LARGE scenario (100 m hall, 96 "
-                    "pillars, rest-start 60-frame speed ramp)")
+                    help="bench.py's LARGE scenario (100 m hall, box "
+                    "buildings + pillars, 15-frame static hold then a "
+                    "25-frame ramp to full speed, spin-phase drift)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)

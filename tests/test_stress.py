@@ -90,8 +90,74 @@ def test_dynamic_object_with_filter_tracks():
     # with the filter the run must track; the comparative claim is
     # noise-dominated on a 12-frame chaotic loop (measured: the on/off
     # gap swings either way by ~60% across float-level code changes), so
-    # gate it loosely -- the filter must never make tracking much worse
+    # the efficacy claim lives in the deterministic mask-level test below
+    # (test_dynamic_filter_mask_frozen_map) and this only pins that the
+    # filter never breaks tracking
     assert m_on["ate_rmse_m"] < 0.35, (m_on, m_off)
-    assert m_on["ate_rmse_m"] < m_off["ate_rmse_m"] * 2.0 + 0.05, (
-        m_on, m_off,
+
+
+def test_dynamic_filter_mask_frozen_map():
+    """Deterministic mask-level efficacy on a FROZEN map (VERDICT r4 item
+    6): build a confident static map, then present (a) true wall returns
+    — must be kept static — and (b) phantom 'moving object' returns
+    hanging in confidently-observed free space in front of those walls —
+    must be flagged dynamic (utils/mapper.py:99-136 strategy 1). No SLAM
+    chaos in the loop: the map state is frozen, so the assertion fails
+    iff the filter itself stops filtering."""
+    n = 10
+    seq = generate_sequence(
+        n_frames=n, n_azimuth=256, n_elev=24, noise_std=0.01, seed=3
     )
+    cfg = tiny_config()
+    system = _boot(cfg, seq, n)
+    for i in range(n):
+        system.process_frame(i, seq.scans[i], seq.imu_windows[i])
+
+    from clid_slam_tpu.mapping.dynamic_filter import make_dynamic_filter_fn
+
+    fn = make_dynamic_filter_fn(
+        knn_k=cfg.query_nn_k,
+        nb_offs=system.nb_offs,
+        resolution=cfg.voxel_size_m,
+        max_valid_dist2=system.max_valid_dist2,
+        sdf_scale=cfg.sdf_scale,
+        certainty_thre=cfg.dynamic_certainty_thre,
+        # the BCE-trained SDF saturates ~0.38 m out from surfaces in this
+        # scene (sigma 0.25); the rejection threshold must sit below that
+        # saturation for free-space returns to clear it, so the test pins
+        # the mechanism at ratio 1.0 (0.30 m) rather than the default 1.5
+        # whose 0.45 m threshold exceeds what the field can express
+        sdf_ratio_thre=1.0,
+        encode_vecs=system.encode_vecs,
+    )
+
+    pose = seq.poses[n - 1]
+    pts = seq.scans[n - 1][:, :3]
+    r = np.linalg.norm(pts, axis=1)
+    keep = (r > 2.0) & (r < cfg.max_range)
+    pts = pts[keep][:512]
+    world = (pts @ pose[:3, :3].T + pose[:3, 3]).astype(np.float32)
+    origin = pose[:3, 3]
+    dirs = world - origin
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # a phantom object surface 0.8 m in front of the mapped walls: deep
+    # inside observed free space (> dynamic_sdf_ratio_thre * voxel =
+    # 0.45 m) yet within the kNN reach of the confident wall points
+    phantom = (world - dirs * 0.8).astype(np.float32)
+
+    def run(p):
+        m = fn(
+            system.map_state, system.mlp, jnp.asarray(p),
+            jnp.ones(len(p), bool), system.travel_dist_dev, n - 1,
+            cfg.diff_travel_dist_local,
+        )
+        return np.asarray(m)
+
+    static_wall = run(world)
+    static_phantom = run(phantom)
+    wall_kept = static_wall.mean()
+    phantom_flagged = 1.0 - static_phantom.mean()
+    # wall returns overwhelmingly kept; phantom free-space returns
+    # overwhelmingly rejected as dynamic
+    assert wall_kept > 0.9, wall_kept
+    assert phantom_flagged > 0.6, phantom_flagged
