@@ -363,6 +363,51 @@ def stage_breakdown(system, seq, label):
     }
 
 
+def hbm_estimate(cfg, frame_ms, n_cells, n_local_cells=7):
+    """Modeled HBM bytes touched per steady frame vs the chip's peak BW.
+
+    The workload is gather/scatter-bound (mfu_estimate note), so the
+    meaningful utilization number is bandwidth, not FLOPs (VERDICT r4
+    item 8). Counts the dominant random-access streams — hash-mirror
+    probes, feature/slab gathers + write-backs, pool append — from the
+    static shapes; sequential streams (pool filter, local-map crop) are
+    amortized over their cadence. A bytes MODEL over measured wall time:
+    real achieved bandwidth is higher to the extent random rows waste
+    their 32B+ HBM burst (the model counts useful bytes only), so treat
+    util as a lower bound on how busy the HBM actually is."""
+    P = cfg.max_scan_points
+    S_all = cfg.all_sample_n  # samples per scan point
+    bs, k = cfg.bs, cfg.query_nn_k
+    row = 16  # hash_mirror AoS row bytes
+    probes = (
+        bs * n_cells * row  # mapping cache build probe
+        + cfg.max_source_points * n_cells * row  # tracking candidates
+        + cfg.surface_sample_n * P * n_local_cells * row  # region labels
+        + (1 + cfg.surface_sample_n) * P * row  # insert probe (1 cell)
+        + S_all * P * n_local_cells * row  # novelty certainty probe
+    )
+    feature_io = (
+        cfg.max_source_points * 16 * (cfg.feature_dim + 3) * 4  # n_cand
+        + 3 * bs * k * cfg.feature_dim * 4  # slab gather + mean writeback
+    )
+    pool_row = 48
+    pool_io = (
+        S_all * P * pool_row  # append write
+        + bs * pool_row  # batch row gather
+        + cfg.pool_capacity * pool_row / max(cfg.pool_filter_freq, 1)
+    )
+    total = probes + feature_io + pool_io
+    peak = 819e9  # v5e HBM2 bandwidth
+    achieved = total / (frame_ms * 1e-3)
+    return {
+        "modeled_gb_per_frame": round(total / 1e9, 3),
+        "achieved_gbps_model": round(achieved / 1e9, 2),
+        "hbm_util_pct": round(100.0 * achieved / peak, 2),
+        "note": "useful-bytes model over measured wall time; random "
+        "16B rows burn >=32B bursts, so true HBM occupancy is higher",
+    }
+
+
 def mfu_estimate(cfg, frame_ms):
     """Useful-FLOP model of one steady frame vs the chip's peak.
 

@@ -142,6 +142,13 @@ class Config:
     logistic_gaussian_ratio: float = 0.55
     loss_weight_on: bool = False
     behind_dropoff_on: bool = False
+    # incidence-corrected freespace labels (r5, beyond the reference):
+    # scale free-sample projective labels by sin(incidence) estimated
+    # from the region plane fit (mapping/sampler.py rationale)
+    incidence_label_on: bool = True
+    incidence_min_factor: float = 0.1
+    incidence_degenerate_factor: float = 1.0
+    free_behind_weight: float = 1.0
     dist_weight_on: bool = True
     dist_weight_scale: float = 0.8
     numerical_grad: bool = True
@@ -444,6 +451,19 @@ class Config:
         if c.loss_weight_on:
             c.dist_weight_scale = lo.get("dist_weight_scale", c.dist_weight_scale)
             c.behind_dropoff_on = lo.get("behind_dropoff_on", c.behind_dropoff_on)
+            c.incidence_label_on = lo.get(
+                "incidence_label_on", c.incidence_label_on
+            )
+            c.incidence_min_factor = lo.get(
+                "incidence_min_factor", c.incidence_min_factor
+            )
+            c.incidence_degenerate_factor = lo.get(
+                "incidence_degenerate_factor",
+                c.incidence_degenerate_factor,
+            )
+            c.free_behind_weight = lo.get(
+                "free_behind_weight", c.free_behind_weight
+            )
         c.ekional_loss_on = lo.get("ekional_loss_on", c.ekional_loss_on)
         c.weight_e = float(lo.get("weight_e", c.weight_e))
         c.numerical_grad = lo.get("numerical_grad_on", c.numerical_grad)

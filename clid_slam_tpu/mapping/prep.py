@@ -54,6 +54,10 @@ def make_prep_fn(
     filter_pool_now: bool = True,
     pin_mode: bool = False,
     behind_dropoff_on: bool = False,
+    incidence_label_on: bool = False,
+    incidence_min_factor: float = 0.1,
+    incidence_degenerate_factor: float = 1.0,
+    free_behind_weight: float = 1.0,
     as_body: bool = False,
 ):
     """``as_body=True`` returns the unjitted function for fusion into a
@@ -107,6 +111,10 @@ def make_prep_fn(
             dist_weight_scale=dist_weight_scale,
             pin_mode=pin_mode,
             behind_dropoff_on=behind_dropoff_on,
+            incidence_label_on=incidence_label_on,
+            incidence_min_factor=incidence_min_factor,
+            incidence_degenerate_factor=incidence_degenerate_factor,
+            free_behind_weight=free_behind_weight,
             colors=colors,
             sem_labels=sem_labels,
         )

@@ -60,6 +60,10 @@ def sample_rays(
     dist_weight_scale: float = 0.8,
     pin_mode: bool = False,
     behind_dropoff_on: bool = False,
+    incidence_label_on: bool = False,
+    incidence_min_factor: float = 0.1,
+    incidence_degenerate_factor: float = 1.0,
+    free_behind_weight: float = 1.0,
     colors=None,  # [N,C] per-ray color/intensity
     sem_labels=None,  # [N] i32 per-ray semantic label
 ) -> SampleBatch:
@@ -108,14 +112,62 @@ def sample_rays(
         # (not the endpoint) — utils/data_sampler.py:352-367
         surf_coords = coords[surf_lo:surf_hi].reshape(-1, 3)  # [S_s*N, 3]
         surf_global = transform_points(surf_coords, pose)
-        est_dist, est_valid = region_specific_sdf(
-            local_map, surf_global, local_voxel_size
+        est_dist, est_valid, est_normal, est_fit = region_specific_sdf(
+            local_map, surf_global, local_voxel_size, with_normal=True
         )
         sdf_sign = jnp.where(disp_s.reshape(-1) < 0, 1.0, -1.0)
         surf_label = sdf_sign * est_dist
         sdf_label = sdf_label.at[surf_lo:surf_hi].set(
             surf_label.reshape(surface_sample_n, n)
         )
+        if incidence_label_on:
+            # Incidence-corrected FREESPACE labels (r5, beyond the
+            # reference): a free sample displaced s along a ray hitting a
+            # surface at grazing incidence sits only ~s·sinθ from that
+            # surface, yet the projective label says s (the full along-ray
+            # distance). Supervising sigmoid(s/σ) at a point s·sinθ from
+            # the plane drags the learned zero-level set toward the
+            # sensor — measured on the 200-frame hall bench as a coherent
+            # ~3.5 mm/frame z ratchet against the grazing-viewed floor
+            # (scripts/diag_large10.py error decomposition). The region
+            # plane fit already yields the surface normal, so scale the
+            # freespace labels by sinθ = |d̂·n̂| — the same "region
+            # specific" philosophy the CLID labels apply to surface
+            # samples (model/local_point_cloud_map.py:98-152), extended
+            # to the free samples the reference leaves projective
+            # (utils/data_sampler.py:345-359). The factor floor keeps
+            # multi-meter free labels saturated (min_f·s >> 3σ) so only
+            # the near-surface regime changes.
+            # per-ray normal: the FIRST successful fit among the ray's
+            # surface samples (all within ~sigma of the endpoint, so any
+            # of their planes is the endpoint's local surface)
+            nrm = est_normal.reshape(surface_sample_n, n, 3)
+            fit = est_fit.reshape(surface_sample_n, n)  # [S_s, n]
+            sup = est_valid.reshape(surface_sample_n, n)
+            first = jnp.argmax(fit, axis=0)  # [n] first True (0 if none)
+            onehot = first[None, :] == jnp.arange(surface_sample_n)[:, None]
+            n_best = jnp.sum(nrm * onehot[..., None], axis=0)  # [n,3]
+            fit_any = jnp.any(fit, axis=0)
+            sup_any = jnp.any(sup, axis=0)
+            d_world = points @ pose[:3, :3].T  # ray dirs, world frame
+            d_hat = d_world / jnp.clip(
+                jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
+            )
+            sin_inc = jnp.abs(jnp.sum(d_hat * n_best, axis=-1))  # [n]
+            # three regimes (measured, scripts/diag_large11.py):
+            # - a fit succeeded: scale by sin(incidence);
+            # - support exists but NO plane fits: degenerate (near-1-D)
+            #   ring support — strongly correlated with grazing incidence
+            #   (on-surface ring spacing ~ beam_spacing·r/sinθ), scaled by
+            #   ``incidence_degenerate_factor`` (1.0 = keep projective);
+            # - no local-map support at all (new territory): keep the
+            #   projective label — the PIN-style bootstrap carve.
+            factor = jnp.where(
+                fit_any,
+                jnp.clip(sin_inc, incidence_min_factor, 1.0),
+                jnp.where(sup_any, incidence_degenerate_factor, 1.0),
+            )
+            sdf_label = sdf_label.at[surf_hi:].multiply(factor[None, :])
     else:
         # PIN mode keeps the projective-distance labels as-is
         # (utils/data_sampler.py:16-258)
@@ -140,6 +192,16 @@ def sample_rays(
         dw = jnp.clip(dw, 0.0, 1.0) * 0.8 + 0.2
         weight = weight * dw
     weight = weight.at[surf_hi:].multiply(-1.0)
+    if free_behind_weight != 1.0:
+        # free-sample mass balance (r5): with incidence-corrected
+        # labels the 2-front/1-behind sampling leaves ~2x more BCE
+        # mass just above a grazing surface than below; the smoothed
+        # field's zero crossing shifts toward the heavier side
+        # (measured floor-low bias, scripts/diag_large12.py). Scaling
+        # the behind block equalizes the near-surface mass.
+        weight = weight.at[surf_hi + free_front_n:].multiply(
+            free_behind_weight
+        )
 
     # validity: ray mask everywhere; surface samples also need neighbors
     valid = jnp.broadcast_to(mask[None, :], (s_total, n))

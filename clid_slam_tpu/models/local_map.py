@@ -151,14 +151,17 @@ def region_specific_sdf(
     resolution,
     eta_threshold: float = 0.2,
     residual_threshold: float = 0.1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_normal: bool = False,
+):
     """Region-specific |SDF| labels (model/local_point_cloud_map.py:98-152).
 
     For each query: probe the 7-cell neighborhood, take the 4 nearest raw
     map points; where a valid plane fits (eta + residual gates), the label
     is point-to-plane distance, else the 1-NN distance. Returns
     (sdf_abs [N], surface_mask [N]) where surface_mask = "has at least one
-    neighbor in range".
+    neighbor in range"; with ``with_normal=True`` additionally returns
+    (normal [N,3] unit plane normal, fit_success [N]) — used by the
+    incidence-corrected freespace labels (mapping/sampler.py, r5).
     """
     hsize = state.hash_table.shape[0]
     maxr = local_max_valid_range(resolution)
@@ -205,4 +208,6 @@ def region_specific_sdf(
     plane_dist = jnp.abs(jnp.sum(normal * points, axis=-1) + constant)
     sdf_abs = jnp.where(fit_success, plane_dist, nn1)
     surface_mask = nn1 < maxr
+    if with_normal:
+        return sdf_abs, surface_mask, normal, fit_success
     return sdf_abs, surface_mask

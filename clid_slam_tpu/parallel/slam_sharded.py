@@ -207,6 +207,10 @@ class ShardedSlamSystem:
             dist_weight_scale=cfg.dist_weight_scale,
             pin_mode=cfg.use_pin_mapper,
             behind_dropoff_on=cfg.behind_dropoff_on,
+            incidence_label_on=cfg.incidence_label_on,
+            incidence_min_factor=cfg.incidence_min_factor,
+            incidence_degenerate_factor=cfg.incidence_degenerate_factor,
+            free_behind_weight=cfg.free_behind_weight,
         ))
 
         self.odom_poses = np.tile(np.eye(4), (total_frames, 1, 1))

@@ -437,6 +437,10 @@ class SlamSystem:
                 filter_pool_now=filter_now,
                 pin_mode=cfg.use_pin_mapper,
                 behind_dropoff_on=cfg.behind_dropoff_on,
+            incidence_label_on=cfg.incidence_label_on,
+            incidence_min_factor=cfg.incidence_min_factor,
+            incidence_degenerate_factor=cfg.incidence_degenerate_factor,
+            free_behind_weight=cfg.free_behind_weight,
             )
             self._prep_fns[filter_now] = prep
 

@@ -190,6 +190,10 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
             filter_pool_now=fp,
             pin_mode=cfg.use_pin_mapper,
             behind_dropoff_on=cfg.behind_dropoff_on,
+            incidence_label_on=cfg.incidence_label_on,
+            incidence_min_factor=cfg.incidence_min_factor,
+            incidence_degenerate_factor=cfg.incidence_degenerate_factor,
+            free_behind_weight=cfg.free_behind_weight,
             as_body=True,
         )
         for fp in (False, True)
@@ -528,9 +532,7 @@ class StreamingSlam:
             input_dim=cfg.pos_input_dim,
             seed=cfg.seed,
         )
-        self.steps = make_frame_step(
-            cfg, self.nb_offs, self.encode_vecs, total_frames=total_frames
-        )
+        self.steps = self._make_steps()
         self._ba_step = (
             make_ba_step(cfg, self.nb_offs, self.encode_vecs)
             if cfg.ba_freq_frame > 0
@@ -540,6 +542,24 @@ class StreamingSlam:
         self._init_state()
         self.processed = 0
         self.imu_max_rows = 64
+
+    # factory hooks (overridden by StreamingShardedSlam: sharded map +
+    # collective frame step over the same StreamState surface)
+    def _make_steps(self):
+        return make_frame_step(
+            self.cfg, self.nb_offs, self.encode_vecs,
+            total_frames=self.total_frames,
+        )
+
+    def _init_map_state(self):
+        cfg = self.cfg
+        return nm.init_map(
+            cfg.map_capacity, cfg.map_hash_size, cfg.feature_dim,
+            cfg.feature_dim if cfg.color_on else 1,
+        )
+
+    def neural_point_count(self) -> int:
+        return int(self.state.map_state.count)
 
     def _init_state(self):
         cfg = self.cfg
@@ -592,10 +612,7 @@ class StreamingSlam:
             stop_count=jnp.zeros((), jnp.int32),
             stop_status=jnp.zeros((), bool),
             failed=jnp.zeros((), bool),
-            map_state=nm.init_map(
-                cfg.map_capacity, cfg.map_hash_size, cfg.feature_dim,
-                cfg.feature_dim if cfg.color_on else 1,
-            ),
+            map_state=self._init_map_state(),
             local_map=lm.init_local_map(
                 cfg.local_map_capacity, cfg.local_map_hash_size
             ),
@@ -832,7 +849,7 @@ class StreamingSlam:
             "track_iters": np.asarray(st.track_iters[:n]),
             "failed": bool(st.failed),
             "lose_track": bool(st.lose_track),
-            "neural_points": int(st.map_state.count),
+            "neural_points": self.neural_point_count(),
         }
         d = self.dataset
         d.odom_poses[:n] = out["odom_poses"]

@@ -66,6 +66,28 @@ def worker(proc_id: int):
 
     est = system.odom_poses[:N_FRAMES]
     m = metrics.absolute_error(est, seq.poses[:N_FRAMES], align=False)
+
+    # r5: the STREAMING sharded loop (one fused dispatch per frame,
+    # collectives inside the executable) across the same 2-process mesh
+    from clid_slam_tpu.pipeline.streaming_sharded import StreamingShardedSlam
+
+    ssys = StreamingShardedSlam(cfg, total_frames=N_FRAMES + 4)
+    w = 2 * np.pi / 20.0
+    ssys.seed_pose(
+        seq.poses[0][:3, :3], seq.poses[0][:3, 3],
+        seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0]),
+    )
+    ssys.precompile()
+    for i in range(N_FRAMES):
+        ssys.process_frame(i, seq.scans[i], seq.imu_windows[i])
+    ssys.block()
+    sest = np.asarray(ssys.state.odom_poses[:N_FRAMES], np.float64)
+    sm = metrics.absolute_error(sest, seq.poses[:N_FRAMES], align=False)
+    stream_counts = np.asarray(
+        multihost_utils.process_allgather(
+            ssys.state.map_state.count, tiled=True
+        )
+    ).reshape(-1).tolist()
     # map_state.count is sharded across BOTH processes: allgather it
     from jax.experimental import multihost_utils
 
@@ -81,6 +103,9 @@ def worker(proc_id: int):
         "traj": np.asarray(est)[:, :3, 3].round(6).tolist(),
         "shard_counts": counts,
         "points": int(sum(counts)),
+        "streaming_ate_rmse_m": round(float(sm["ate_rmse_m"]), 6),
+        "streaming_traj": sest[:, :3, 3].round(6).tolist(),
+        "streaming_shard_counts": stream_counts,
     }
     os.makedirs(OUT, exist_ok=True)
     with open(f"{OUT}/proc{proc_id}.json", "w") as f:
@@ -130,6 +155,14 @@ def main():
     c = outs[0]["shard_counts"]
     assert all(x > 0 for x in c), c
     assert outs[0]["points"] > 500
+    # streaming x sharded: identical trajectories + sane ATE + spread map
+    s0 = np.asarray(outs[0]["streaming_traj"])
+    s1 = np.asarray(outs[1]["streaming_traj"])
+    sdmax = float(np.abs(s0 - s1).max())
+    assert sdmax < 1e-5, sdmax
+    assert outs[0]["streaming_ate_rmse_m"] < 1.0, outs[0]
+    sc = outs[0]["streaming_shard_counts"]
+    assert all(x > 0 for x in sc), sc
     print(json.dumps({
         "multiprocess": {
             "processes": 2,
@@ -138,6 +171,9 @@ def main():
             "ate_rmse_m": outs[0]["ate_rmse_m"],
             "traj_max_divergence_m": dmax,
             "shard_counts": c,
+            "streaming_ate_rmse_m": outs[0]["streaming_ate_rmse_m"],
+            "streaming_traj_max_divergence_m": sdmax,
+            "streaming_shard_counts": sc,
         }
     }))
 

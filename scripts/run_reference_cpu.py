@@ -354,6 +354,7 @@ def main():
 
     est = dataset.odom_poses[:n]
     gt = seq.poses[:n]
+    np.savez(os.path.join(args.out, "traj.npz"), est=est, gt=gt)
     rot_rmse, tran_rmse, align_mat = absolute_error(gt, est, align_on=False)
     med = float(np.median(frame_times[1:])) if len(frame_times) > 1 else 0.0
     print(
