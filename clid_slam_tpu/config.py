@@ -148,7 +148,7 @@ class Config:
     incidence_label_on: bool = True
     incidence_min_factor: float = 0.1
     incidence_degenerate_factor: float = 1.0
-    free_behind_weight: float = 1.0
+    free_behind_weight: float = 0.0  # 0 = auto (see _derive)
     dist_weight_on: bool = True
     dist_weight_scale: float = 0.8
     numerical_grad: bool = True
@@ -284,6 +284,22 @@ class Config:
 
     def __post_init__(self):
         self._derive()
+
+    def resolved_free_behind_weight(self) -> float:
+        """Near-surface BCE mass balance. With incidence-corrected
+        labels the front/behind free samples carry comparable (metric)
+        magnitudes near a grazing surface, so the n_front/n_behind
+        count imbalance shifts the smoothed zero crossing toward the
+        heavier side (measured: 200-frame hall z ratchet, large ATE
+        0.226 -> 0.119 with the balance on). 0 = auto: equalize by
+        n_front/n_behind when incidence labels are on, else keep the
+        reference's unit weights (its saturated projective behind
+        labels already pull harder per sample)."""
+        if self.free_behind_weight:
+            return self.free_behind_weight
+        if self.incidence_label_on and self.free_behind_n > 0:
+            return self.free_front_n / self.free_behind_n
+        return 1.0
 
     def _derive(self):
         self.run_name = self.run_name or self.name

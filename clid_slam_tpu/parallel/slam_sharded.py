@@ -210,7 +210,7 @@ class ShardedSlamSystem:
             incidence_label_on=cfg.incidence_label_on,
             incidence_min_factor=cfg.incidence_min_factor,
             incidence_degenerate_factor=cfg.incidence_degenerate_factor,
-            free_behind_weight=cfg.free_behind_weight,
+            free_behind_weight=cfg.resolved_free_behind_weight(),
         ))
 
         self.odom_poses = np.tile(np.eye(4), (total_frames, 1, 1))

@@ -440,7 +440,7 @@ class SlamSystem:
             incidence_label_on=cfg.incidence_label_on,
             incidence_min_factor=cfg.incidence_min_factor,
             incidence_degenerate_factor=cfg.incidence_degenerate_factor,
-            free_behind_weight=cfg.free_behind_weight,
+            free_behind_weight=cfg.resolved_free_behind_weight(),
             )
             self._prep_fns[filter_now] = prep
 

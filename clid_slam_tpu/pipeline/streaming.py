@@ -193,7 +193,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
             incidence_label_on=cfg.incidence_label_on,
             incidence_min_factor=cfg.incidence_min_factor,
             incidence_degenerate_factor=cfg.incidence_degenerate_factor,
-            free_behind_weight=cfg.free_behind_weight,
+            free_behind_weight=cfg.resolved_free_behind_weight(),
             as_body=True,
         )
         for fp in (False, True)

@@ -156,7 +156,7 @@ def make_sharded_frame_step(
         incidence_label_on=cfg.incidence_label_on,
         incidence_min_factor=cfg.incidence_min_factor,
         incidence_degenerate_factor=cfg.incidence_degenerate_factor,
-        free_behind_weight=cfg.free_behind_weight,
+        free_behind_weight=cfg.resolved_free_behind_weight(),
     )
 
     def _orthonormalize(R):
