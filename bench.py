@@ -37,6 +37,22 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 TOTAL_FRAMES = 232  # one static trajectory-shape bucket for both scales
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache — importable side effect so every
+    diagnostic script that `import bench` gets warm compiles too (the
+    fused frame step takes 200+ s to compile cold on the tunnel TPU)."""
+    os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+enable_compile_cache()
+
+
 def build_config(large: bool = False):
     from clid_slam_tpu.config import Config
 
@@ -431,13 +447,7 @@ def mfu_estimate(cfg, frame_ms):
 
 
 def main():
-    os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    enable_compile_cache()
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     classic = "--classic" in sys.argv

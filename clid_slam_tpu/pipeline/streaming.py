@@ -51,6 +51,10 @@ from .dataset import SLAMDataset
 
 G_M_S2 = iekf.G_M_S2
 
+# static IMU-row bucket (covers 100-640 Hz IMU at 10 Hz LiDAR); part of
+# the packed frame-buffer layout, so a shared constant
+IMU_MAX_ROWS = 64
+
 
 class StreamState(NamedTuple):
     # IESEKF (f32 on device; see odometry/iekf.py numerics notes)
@@ -80,14 +84,88 @@ class StreamState(NamedTuple):
     track_iters: jnp.ndarray  # [T] i32
 
 
+def pack_adapter(step, p_cap: int, imu_max_rows: int):
+    """Wrap an 11-arg frame-step body into the ONE-buffer packed calling
+    convention ``step(state, frame_pack [p_cap*5 + (imu_max_rows+1)*7])``.
+
+    Layout: first p_cap*5 floats are the scan block [p_cap,5] with columns
+    (x, y, z, mask, point_ts); then an aux block [imu_max_rows+1, 7] whose
+    rows 0..K-1 are IMU rows (dt, acc, gyro) and whose LAST row carries the
+    frame scalars (frame_id, imu_count, crop_max_range, iters_base,
+    mlp_lr_scale, allow_restart, 0). Rationale: the tunnel runtime
+    serializes ~1.2 ms of device time per host->device buffer regardless
+    of size (scripts/probe_enqueue.py); the old 10-buffer argument set
+    cost ~12 ms/frame of device idle (probe_prestaged.py: wall 120 ms vs
+    device busy 104 ms). One upload reclaims most of it."""
+    scan_n = p_cap * 5
+
+    def packed(state, frame_pack):
+        scan_pack = frame_pack[:scan_n].reshape(p_cap, 5)
+        aux_pack = frame_pack[scan_n:].reshape(imu_max_rows + 1, 7)
+        points = scan_pack[:, :3]
+        pmask = scan_pack[:, 3] > 0.5
+        point_ts = scan_pack[:, 4]
+        imu_rows = aux_pack[:-1]
+        s = aux_pack[-1]
+        return step(
+            state,
+            s[0].astype(jnp.int32),
+            points,
+            pmask,
+            point_ts,
+            imu_rows,
+            s[1].astype(jnp.int32),
+            s[2],
+            s[3].astype(jnp.int32),
+            s[4],
+            s[5] > 0.5,
+        )
+
+    return jax.jit(packed, donate_argnums=(0, 1))
+
+
+def pack_frame_buffers(
+    p_cap: int,
+    imu_max_rows: int,
+    points,  # [n,3] np
+    point_ts,  # [n] np or None
+    imu_window,  # [k,7] np or None
+    frame_id: int,
+    crop_max_range: float,
+    iters_base: int,
+    mlp_lr_scale: float,
+    allow_restart: bool,
+):
+    """Host-side packing for ``pack_adapter``'s calling convention."""
+    n = min(points.shape[0], p_cap)
+    pack = np.zeros(p_cap * 5 + (imu_max_rows + 1) * 7, np.float32)
+    scan = pack[: p_cap * 5].reshape(p_cap, 5)
+    aux = pack[p_cap * 5 :].reshape(imu_max_rows + 1, 7)
+    scan[:n, :3] = points[:n, :3]
+    scan[:n, 3] = 1.0
+    if point_ts is not None:
+        scan[:n, 4] = np.asarray(point_ts, np.float32).reshape(-1)[:n]
+    k = 0
+    if imu_window is not None and len(imu_window):
+        k = min(len(imu_window), imu_max_rows)
+        aux[:k] = imu_window[:k]
+    aux[-1, :6] = (
+        float(frame_id),
+        float(k),
+        float(crop_max_range),
+        float(iters_base),
+        float(mlp_lr_scale),
+        1.0 if allow_restart else 0.0,
+    )
+    return pack
+
+
 def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
     """Build the fused frame-step executables.
 
     Returns a dict keyed by (track: bool, filter_pool_now: bool) of jitted
-    functions:
-      step(state, frame_id, points, pmask, point_ts, imu_rows, imu_count,
-           crop_max_range, iters_base, mlp_lr_scale, allow_restart)
-        -> new_state
+    functions in the packed convention (see ``pack_adapter``):
+      step(state, scan_pack, aux_pack) -> new_state
     """
     max_valid_dist2 = 3.0 * ((cfg.num_nei_cells + 1) * cfg.voxel_size_m) ** 2
     max_sdf_std = cfg.surface_sample_range_m * cfg.max_sdf_std_ratio
@@ -449,7 +527,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
                 track_iters=track_iters,
             )
 
-        return jax.jit(step, donate_argnums=(0,))
+        return pack_adapter(step, cfg.max_scan_points, IMU_MAX_ROWS)
 
     return {
         (tr, fp): make_step(tr, fp)
@@ -541,7 +619,7 @@ class StreamingSlam:
         self.dataset = SLAMDataset(cfg, tracker=None, min_frames=total_frames)
         self._init_state()
         self.processed = 0
-        self.imu_max_rows = 64
+        self.imu_max_rows = IMU_MAX_ROWS
 
     # factory hooks (overridden by StreamingShardedSlam: sharded map +
     # collective frame step over the same StreamState surface)
@@ -636,25 +714,14 @@ class StreamingSlam:
         variant compiled at frame 9). Runs each variant once on a throwaway
         clone of the initial state (donation consumes the clone)."""
         cfg = self.cfg
-        zeros = np.zeros((cfg.max_scan_points, 3), np.float32)
-        zmask = np.zeros(cfg.max_scan_points, bool)
-        zts = np.zeros(cfg.max_scan_points, np.float32)
-        imu = np.zeros((self.imu_max_rows, 7), np.float32)
+        pack = pack_frame_buffers(
+            cfg.max_scan_points, self.imu_max_rows,
+            np.zeros((0, 3), np.float32), None, None,
+            1, cfg.max_range, cfg.iters, 1.0, False,
+        )
         for variant, step in self.steps.items():
             clone = jax.tree.map(jnp.copy, self.state)
-            out = step(
-                clone,
-                jnp.asarray(1, jnp.int32),
-                jnp.asarray(zeros),
-                jnp.asarray(zmask),
-                jnp.asarray(zts),
-                jnp.asarray(imu),
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(cfg.max_range, jnp.float32),
-                jnp.asarray(cfg.iters, jnp.int32),
-                jnp.asarray(1.0, jnp.float32),
-                jnp.asarray(False),
-            )
+            out = step(clone, jnp.asarray(pack))
             jax.block_until_ready(out.pos)
             del out
         if cfg.prune_map_on:
@@ -719,33 +786,19 @@ class StreamingSlam:
             points = points[sel]
             point_ts = point_ts[sel] if point_ts is not None else None
             n = p_cap
-        buf = np.zeros((p_cap, 3), np.float32)
-        buf[:n] = points[:, :3]
-        mask = np.zeros(p_cap, bool)
-        mask[:n] = True
-        ts_buf = np.zeros(p_cap, np.float32)
-        if point_ts is not None and cfg.deskew:
-            ts_buf[:n] = np.asarray(point_ts, np.float32).reshape(-1)[:n]
+        if imu_window is not None and len(imu_window) > self.imu_max_rows:
+            # static [K,7] bucket (imu_max_rows covers 100-640 Hz IMU
+            # at 10 Hz LiDAR); dropping rows silently would corrupt
+            # the propagation — warn loudly once per frame
+            import warnings
 
-        imu_rows = np.zeros((self.imu_max_rows, 7), np.float32)
-        imu_count = 0
-        if imu_window is not None and len(imu_window):
-            if len(imu_window) > self.imu_max_rows:
-                # static [K,7] bucket (imu_max_rows covers 100-640 Hz IMU
-                # at 10 Hz LiDAR); dropping rows silently would corrupt
-                # the propagation — warn loudly once per frame
-                import warnings
-
-                warnings.warn(
-                    f"frame {frame_id}: IMU window has {len(imu_window)} "
-                    f"rows, truncating to imu_max_rows="
-                    f"{self.imu_max_rows}; raise StreamingSlam."
-                    f"imu_max_rows to cover your IMU rate",
-                    RuntimeWarning,
-                )
-            k = min(len(imu_window), self.imu_max_rows)
-            imu_rows[:k] = imu_window[:k]
-            imu_count = k
+            warnings.warn(
+                f"frame {frame_id}: IMU window has {len(imu_window)} "
+                f"rows, truncating to imu_max_rows="
+                f"{self.imu_max_rows}; raise StreamingSlam."
+                f"imu_max_rows to cover your IMU rate",
+                RuntimeWarning,
+            )
 
         track = cfg.track_on and frame_id > 0
         filter_now = (frame_id + 1) % cfg.pool_filter_freq == 0
@@ -756,19 +809,15 @@ class StreamingSlam:
         )
         mlp_scale = 0.0 if frame_id >= cfg.freeze_after_frame else 1.0
 
-        self.state = step(
-            self.state,
-            jnp.asarray(frame_id, jnp.int32),
-            jnp.asarray(buf),
-            jnp.asarray(mask),
-            jnp.asarray(ts_buf),
-            jnp.asarray(imu_rows),
-            jnp.asarray(imu_count, jnp.int32),
-            jnp.asarray(crop_max_range, jnp.float32),
-            jnp.asarray(iters_base, jnp.int32),
-            jnp.asarray(mlp_scale, jnp.float32),
-            jnp.asarray(frame_id > cfg.freeze_after_frame),
+        pack = pack_frame_buffers(
+            p_cap, self.imu_max_rows,
+            points[:, :3],
+            point_ts if cfg.deskew else None,
+            imu_window,
+            frame_id, crop_max_range, iters_base, mlp_scale,
+            frame_id > cfg.freeze_after_frame,
         )
+        self.state = step(self.state, jnp.asarray(pack))
 
         # sliding-window BA cadence (separate executable, zero readbacks)
         if (

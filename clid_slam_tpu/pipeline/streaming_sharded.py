@@ -379,7 +379,9 @@ def make_sharded_frame_step(
                 track_iters=track_iters,
             )
 
-        return jax.jit(step, donate_argnums=(0,))
+        return stream.pack_adapter(
+            step, cfg.max_scan_points, stream.IMU_MAX_ROWS
+        )
 
     return {
         (tr, fp): make_step(tr, fp)

@@ -61,16 +61,7 @@ def main():
     P = cfg.max_scan_points
     args = (
         system.state,
-        jnp.asarray(1, jnp.int32),
-        jnp.zeros((P, 3), jnp.float32),
-        jnp.zeros((P,), bool),
-        jnp.zeros((P,), jnp.float32),
-        jnp.zeros((64, 7), jnp.float32),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(60.0, jnp.float32),
-        jnp.asarray(10, jnp.int32),
-        jnp.asarray(1.0, jnp.float32),
-        jnp.asarray(True),
+        jnp.zeros(P * 5 + 65 * 7, jnp.float32),
     )
     txt = step.lower(*args).compile().as_text()
     print(f"# HLO text: {len(txt)} chars", flush=True)
