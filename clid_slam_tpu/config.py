@@ -117,6 +117,11 @@ class Config:
     pool_capacity: int = int(1e7)
     bs_new_sample: int = 2048
     new_certainty_thre: float = 1.0
+    # novelty evaluation: "fast" = own-cell certainty, two random
+    # gathers (models/neural_map.py:query_certainty_own_cell — exact up
+    # to hash collisions); "certainty" = the reference's full probe
+    # (distance-checked, 3 random gathers)
+    novelty_mode: str = "fast"
     pool_filter_freq: int = 1
 
     # ---- decoder MLP (reference utils/config.py:167-181) ----
@@ -584,6 +589,8 @@ class Config:
             c.mlp_bf16 = bool(t["mlp_bf16"])
         if "track_cached" in t:
             c.track_cached = bool(t["track_cached"])
+        if "novelty_mode" in t:
+            c.novelty_mode = str(t["novelty_mode"])
         for k in ("track_n_cand", "map_resample_every", "stagnation_iter"):
             if k in t:
                 setattr(c, k, int(t[k]))

@@ -136,71 +136,100 @@ def append_samples(
     sem=None,  # [M] i32 or None
     key=None,  # PRNG key for overflow replacement slots
 ) -> ReplayPool:
-    """Append one frame's (masked) samples; when full, overflowing samples
-    evict uniform-random old slots. Collisions between two evictors lose
-    one sample — same as the reference's random discard. ONE row scatter."""
+    """Append one frame's (masked) samples; when the frame does not fit,
+    samples evict uniform-random old slots (the reference discards random
+    old samples, utils/mapper.py:350-358). Collisions between two evictors
+    lose one sample — same as the reference's random discard.
+
+    Scatter discipline (r5 rework, scripts/trace_by_source.py): the old
+    path argsorted the slots and reordered every value column through a
+    262k gather (argsort 1.9 ms + 9 reorder gathers ~6 ms + 9 column
+    scatters ~9 ms = 15+ ms/frame, the hottest line in the step). The
+    slots are now generated ALREADY SORTED with values left in frame
+    order:
+
+    - filling phase: destinations ``size + cumsum(mask)`` are ascending
+      by construction;
+    - eviction phase: sorted uniform-random slots come from normalized
+      exponential prefix sums (order statistics: E_i iid exp(1) =>
+      S_k/S_{m+1} are the sorted U(0,1) order statistics) — the slot
+      MULTISET is distributed exactly like iid uniform draws, which is
+      what uniform eviction requires (sample content is an unordered bag:
+      batch sampling is uniform over [0,size) regardless of position);
+    - masked-out rows take the NEXT valid row's slot (reverse cummin
+      backfill) so sortedness holds and the later valid row overwrites
+      the placeholder write; trailing masked rows get the out-of-bounds
+      sentinel (>= every slot, still sorted, dropped by the scatter).
+
+    A frame that only PARTLY fits declares the pool full and routes every
+    row through eviction over [0, P): slots in the unfilled tail become
+    live as written, the few never-written tail rows stay valid=False
+    (batch-sampled rows gate on validity downstream) — a one-frame
+    transition approximation.
+
+    Constant columns are skipped: pad is always 0, sem stays -1 and color
+    stays 0 unless those labels are enabled (init_pool invariant +
+    evicted rows can only hold values this function wrote)."""
     p = pool.data.shape[0]
     m = coords.shape[0]
     offs = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dst = pool.size + offs
-    write = mask & (dst < p)
-    if key is not None:
-        overflow = mask & (dst >= p)
-        rand_old = jax.random.randint(
-            key, mask.shape, 0, jnp.maximum(pool.size, 1)
-        )
-        dst = jnp.where(overflow, rand_old, dst)
-        write = write | overflow
-    # losers get out-of-bounds index p and are dropped by the scatter
-    slot = jnp.where(write, dst, p)
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    fits = pool.size + n_valid <= p
 
-    # per-COLUMN scatters: the pool slab's layout is column-major
-    # ({0,1:T(8,128)} — forced by full-pool column passes like
-    # filter_pool), and inside the fused frame step the one row-scatter
-    # of [M,9] rows hits a ~92 ns/row serial emitter path (measured,
-    # r3 trace: 24 ms/frame, the single hottest op). Column scatters
-    # write contiguous memory and stay on the vector path.
-    d = pool.data.shape[1]
-    cols = [coords[:, 0], coords[:, 1], coords[:, 2], sdf, weight,
-            jnp.float32(1.0) * frame_id + jnp.zeros_like(sdf),
-            (sem.astype(jnp.float32) if sem is not None
-             else jnp.full_like(sdf, -1.0)),
-            jnp.zeros_like(sdf)]
-    if color is not None:
-        cols += [color[:, c] for c in range(color.shape[1])]
-    # sort the target slots once and scatter monotonically: the unsorted
-    # column scatters ran ~0.8 GB/s inside the fused step (r4 trace,
-    # 1.3 ms per column x 9); sorted scatters take the segmented fast
-    # path (same trick as mapper._sorted_scatter_add). Duplicate slots
-    # (eviction collisions / dropped sentinels) keep last-writer-wins in
-    # the original order because argsort is stable.
-    order = jnp.argsort(slot)
-    slot_s = slot[order]
-    data = pool.data
-    for c in range(d):
-        v = cols[c] if c < len(cols) else jnp.zeros_like(sdf)
-        data = data.at[slot_s, c].set(
-            v[order], mode="drop", indices_are_sorted=True
+    slot_fill = pool.size + offs
+    if key is not None:
+        # sorted uniform order statistics over [0, p)
+        e = -jnp.log(
+            jnp.clip(jax.random.uniform(key, (m + 1,)), 1e-12, 1.0)
         )
-    valid_arr = pool.valid.at[slot_s].set(
+        s = jnp.cumsum(e)
+        slot_evict = jnp.minimum(
+            (s[:m] / s[m] * p).astype(jnp.int32), p - 1
+        )
+        slot = jnp.where(fits, slot_fill, slot_evict)
+    else:
+        slot = slot_fill
+    # masked rows: backfill with the next valid slot (reverse cummin),
+    # sentinel p for the trailing run
+    slot = jnp.where(mask, slot, p)
+    slot = jnp.flip(jax.lax.cummin(jnp.flip(slot)))
+    slot = jnp.minimum(slot, p)  # out-of-bounds rows drop
+
+    cols = {
+        0: coords[:, 0],
+        1: coords[:, 1],
+        2: coords[:, 2],
+        _SDF: sdf,
+        _W: weight,
+        _TS: jnp.float32(1.0) * frame_id + jnp.zeros_like(sdf),
+    }
+    if sem is not None:
+        cols[_SEM] = sem.astype(jnp.float32)
+    if color is not None:
+        for c in range(color.shape[1]):
+            cols[BASE_COLS + c] = color[:, c]
+    data = pool.data
+    for c, v in cols.items():
+        data = data.at[slot, c].set(
+            v, mode="drop", indices_are_sorted=True
+        )
+    valid_arr = pool.valid.at[slot].set(
         True, mode="drop", indices_are_sorted=True
     )
-    # overflow evictions reuse live slots and do not grow the pool
-    n_added = jnp.sum((write & (pool.size + offs < p)).astype(jnp.int32))
 
-    # new-region index side buffer
+    # new-region index side buffer (records where each new sample landed)
     nb = pool.new_buf.shape[0]
-    new_flag = write & is_new
+    new_flag = mask & is_new
     noffs = jnp.cumsum(new_flag.astype(jnp.int32)) - 1
     nslot = jnp.where(new_flag & (noffs < nb), noffs, nb)
     new_buf = jnp.zeros_like(pool.new_buf)
-    new_buf = new_buf.at[nslot].set(dst.astype(jnp.int32), mode="drop")
+    new_buf = new_buf.at[nslot].set(slot.astype(jnp.int32), mode="drop")
     new_count = jnp.minimum(jnp.sum(new_flag.astype(jnp.int32)), nb)
 
     return ReplayPool(
         data=data,
         valid=valid_arr,
-        size=jnp.minimum(pool.size + n_added, p),
+        size=jnp.where(fits, pool.size + n_valid, jnp.int32(p)),
         new_buf=new_buf,
         new_count=new_count,
     )

@@ -51,6 +51,7 @@ def make_prep_fn(
     from_sample_points: bool,
     new_certainty_thre: float,
     novelty_on: bool,
+    novelty_mode: str = "travel",
     filter_pool_now: bool = True,
     pin_mode: bool = False,
     behind_dropoff_on: bool = False,
@@ -152,9 +153,15 @@ def make_prep_fn(
             pool = pl.filter_pool(pool, origin, window_radius)
 
         if novelty_on:
-            cert = nm.query_certainty_max(
-                map_state, coords_global, resolution, one_cell_mvd2
-            )
+            if novelty_mode == "fast":
+                # two-gather own-cell path (see query_certainty_own_cell)
+                cert = nm.query_certainty_own_cell(
+                    map_state, coords_global, resolution
+                )
+            else:
+                cert = nm.query_certainty_max(
+                    map_state, coords_global, resolution, one_cell_mvd2
+                )
             is_new = (
                 (cert < new_certainty_thre)
                 & (jnp.abs(batch.sdf_label) < surface_sample_range_m * 3.0)

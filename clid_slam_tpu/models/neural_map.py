@@ -413,6 +413,35 @@ def query_certainty_max(
     return jnp.max(cert, axis=-1)
 
 
+def query_certainty_own_cell(
+    state: NeuralMapState,
+    points: jnp.ndarray,  # [N,3]
+    resolution,
+) -> jnp.ndarray:
+    """Own-cell certainty for the novelty gate, skipping the mirror
+    distance check: TWO random gathers instead of three (the exact path
+    cost 7.4 ms/frame at bench shapes, trace_by_source r5).
+
+    Exactness argument: the novelty probe uses num_nei_cells=1, alpha=0 —
+    the sample's OWN voxel only (utils/mapper.py:410-411). A bucket's
+    occupant lives in the voxel that hashed there, so its distance to any
+    query in that voxel is bounded by the cell diagonal (3·res² <
+    max_valid_dist2 = 12·res²) — the distance gate can only reject HASH
+    COLLISIONS (a different cell's occupant sharing the bucket, ~load
+    factor of empty-cell queries). Skipping it returns the collider's
+    certainty for that small set; the flip is hash-deterministic, hence
+    identical across drivers (classic/streaming parity holds — unlike a
+    travel-stamp recency proxy that was tried first and measurably
+    shifted the adaptive-iteration ratios, r5)."""
+    hsize = state.hash_table.shape[0]
+    cap = map_capacity(state)
+    h = voxel_hash(grid_coords(points, resolution), hsize)
+    idx = state.hash_table[h]  # [N]
+    valid = idx >= 0
+    cert = state.certainty[jnp.where(valid, idx, cap)]
+    return jnp.where(valid, cert, 0.0)
+
+
 # ------------------------------------------------------------------- prune
 
 

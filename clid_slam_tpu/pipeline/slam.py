@@ -434,6 +434,7 @@ class SlamSystem:
                 from_sample_points=cfg.from_sample_points,
                 new_certainty_thre=cfg.new_certainty_thre,
                 novelty_on=cfg.bs_new_sample > 0,
+                novelty_mode=cfg.novelty_mode,
                 filter_pool_now=filter_now,
                 pin_mode=cfg.use_pin_mapper,
                 behind_dropoff_on=cfg.behind_dropoff_on,

@@ -265,6 +265,7 @@ def make_frame_step(cfg: Config, nb_offs, encode_vecs, *, total_frames: int):
             from_sample_points=cfg.from_sample_points,
             new_certainty_thre=cfg.new_certainty_thre,
             novelty_on=cfg.bs_new_sample > 0,
+            novelty_mode=cfg.novelty_mode,
             filter_pool_now=fp,
             pin_mode=cfg.use_pin_mapper,
             behind_dropoff_on=cfg.behind_dropoff_on,
