@@ -448,6 +448,7 @@ def mfu_estimate(cfg, frame_ms):
 
 def main():
     enable_compile_cache()
+    import jax
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     classic = "--classic" in sys.argv

@@ -37,6 +37,13 @@ class Config:
     name: str = "clid_slam_tpu"
     run_name: str = ""
     output_root: str = "./experiment"
+    # kiss-icp dataloader option (utils/slam_dataset.py:58-81): when on
+    # and the optional ``kiss_icp`` package is installed, frames come
+    # from kiss_icp.datasets.dataset_factory (mcap/ouster/rosbag/...)
+    # instead of the folder loaders
+    use_kiss_dataloader: bool = False
+    data_loader_name: str = "generic"
+    data_loader_seq: str = ""
     pc_path: str = ""
     imu_path: str = ""
     pose_ts_path: str = ""
@@ -273,8 +280,11 @@ class Config:
     # expanded-duplicates mapping (mapper.py dup_independent docstring):
     # the streaming fast path trains the [bs,k] kNN references as
     # independent parameters and writes back per-point means once per
-    # frame -- zero per-iteration gathers/scatters
-    map_dup_independent: bool = True
+    # frame -- zero per-iteration gathers/scatters. None = auto: on for
+    # the bce loss (A/B-validated on both bench scales), OFF for
+    # zhong/sdf_l1/sdf_l2 where the approximation has no accuracy
+    # evidence (advisor r4); set True/False to force either path
+    map_dup_independent: "bool | None" = None
     # run the whole mapping inner loop as ONE Pallas TPU kernel
     # (ops/pallas_mapping.py; requires dup_independent; auto-falls back
     # to the XLA loop off-TPU or for ineligible configs)
@@ -321,6 +331,11 @@ class Config:
             self.local_map_radius * self.local_map_travel_dist_ratio
         )
         self.track_mask_query_nn_k = self.query_nn_k
+        if self.map_dup_independent is None:
+            # auto: the expanded-duplicates approximation is A/B-validated
+            # for bce only (advisor r4) — other loss types take the exact
+            # summed-gradient XLA path unless forced
+            self.map_dup_independent = self.main_loss_type == "bce"
 
     @property
     def position_dim(self) -> int:
@@ -357,6 +372,11 @@ class Config:
         c.use_pin_mapper = s.get("use_pin_mapper", False)
         c.name = s.get("name", c.name)
         c.output_root = s.get("output_root", c.output_root)
+        c.use_kiss_dataloader = s.get(
+            "use_kiss_icp_dataloader", c.use_kiss_dataloader
+        )
+        c.data_loader_name = s.get("data_loader_name", c.data_loader_name)
+        c.data_loader_seq = s.get("data_loader_seq", c.data_loader_seq)
         c.pc_path = s.get("pc_path", c.pc_path)
         c.imu_path = s.get("imu_path", c.imu_path)
         c.pose_path = s.get("pose_path", c.pose_path)
@@ -591,6 +611,13 @@ class Config:
             c.track_cached = bool(t["track_cached"])
         if "novelty_mode" in t:
             c.novelty_mode = str(t["novelty_mode"])
+        if "map_dup_independent" in t:
+            c.map_dup_independent = bool(t["map_dup_independent"])
+        else:
+            # re-resolve the auto default against the LOADED loss type
+            # (construction already ran _derive with the dataclass
+            # default loss)
+            c.map_dup_independent = None
         for k in ("track_n_cand", "map_resample_every", "stagnation_iter"):
             if k in t:
                 setattr(c, k, int(t[k]))

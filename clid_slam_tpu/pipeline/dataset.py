@@ -63,7 +63,31 @@ class SLAMDataset:
         self._min_frames = min_frames
 
         self.pc_filenames = []
-        if cfg.pc_path and os.path.isdir(cfg.pc_path):
+        self.kiss_loader = None
+        if cfg.use_kiss_dataloader:
+            # kiss-icp dataloader mode (utils/slam_dataset.py:58-81):
+            # frames (and gt poses / calibration when the loader carries
+            # them) come from kiss_icp.datasets.dataset_factory — any
+            # kiss-icp-supported dataset (mcap, ouster, rosbag, ...) can
+            # feed the pipeline. The optional dependency is imported
+            # lazily and fails with an actionable message when absent.
+            try:
+                from kiss_icp.datasets import dataset_factory
+            except ImportError as e:
+                raise ImportError(
+                    "use_kiss_icp_dataloader requires the optional "
+                    "kiss-icp package (pip install kiss-icp)"
+                ) from e
+            from pathlib import Path
+
+            self.kiss_loader = dataset_factory(
+                dataloader=cfg.data_loader_name,
+                data_dir=Path(cfg.pc_path),
+                sequence=cfg.data_loader_seq,
+                topic=cfg.data_loader_seq,
+            )
+            cfg.end_frame = min(len(self.kiss_loader), cfg.end_frame)
+        elif cfg.pc_path and os.path.isdir(cfg.pc_path):
             self.pc_filenames = sorted(
                 f
                 for f in os.listdir(cfg.pc_path)
@@ -71,6 +95,11 @@ class SLAMDataset:
                 in (".bin", ".ply", ".pcd", ".las")
             )[cfg.begin_frame : cfg.end_frame : cfg.step_frame]
         self.total_pc_count = len(self.pc_filenames)
+        if self.kiss_loader is not None:
+            self.total_pc_count = max(
+                (cfg.end_frame - cfg.begin_frame) // max(cfg.step_frame, 1),
+                0,
+            )
         # color normalization: KITTI intensity is already [0,1]
         # (utils/slam_dataset.py:172-184)
         self.color_scale = 1.0 if cfg.kitti_correction_on else 255.0
@@ -92,6 +121,14 @@ class SLAMDataset:
                 self.gt_poses = self.gt_poses[
                     cfg.begin_frame : cfg.end_frame : cfg.step_frame
                 ]
+        if (
+            self.gt_poses is None
+            and self.kiss_loader is not None
+            and hasattr(self.kiss_loader, "gt_poses")
+        ):
+            self.gt_poses = np.asarray(self.kiss_loader.gt_poses)[
+                cfg.begin_frame : cfg.end_frame : cfg.step_frame
+            ]
         self.gt_pose_provided = self.gt_poses is not None
 
         n = max(self.total_pc_count, self._min_frames)
@@ -165,6 +202,19 @@ class SLAMDataset:
     def read_frame(self, frame_id: int):
         cfg = self.cfg
         sem_reduced = None
+        if self.kiss_loader is not None:
+            # utils/slam_dataset.py:232-248 (read_frame_with_loader)
+            idx = cfg.begin_frame + frame_id * cfg.step_frame
+            data = self.kiss_loader[idx]
+            if isinstance(data, tuple):
+                points, point_ts = data
+            else:
+                points, point_ts = data, None
+            points = np.asarray(points, np.float32)
+            if cfg.deskew and point_ts is None:
+                point_ts = self._estimate_point_ts(points[:, :3])
+            self.read_frame_arrays(points, point_ts, None)
+            return
         if cfg.semantic_on and cfg.label_path:
             # SemanticKITTI frame + labels (utils/slam_dataset.py:267-281)
             pc_path = os.path.join(cfg.pc_path, self.pc_filenames[frame_id])

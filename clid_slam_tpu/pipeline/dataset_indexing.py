@@ -26,6 +26,15 @@ def set_dataset_path(cfg: Config, dataset_name: str = "", seq: str = ""):
     seq = str(seq)
     root = cfg.pc_path or "."
 
+    if cfg.use_kiss_dataloader:
+        # kiss-icp dataloader mode (reference dataset_indexing.py:12-18):
+        # the dataset name selects the kiss loader, the sequence is
+        # passed through verbatim
+        cfg.name += f"_{dataset_name}_{seq.replace('/', '')}"
+        cfg.data_loader_name = dataset_name
+        cfg.data_loader_seq = seq
+        return cfg
+
     if name == "kitti":
         base = root.rsplit("/", 3)[0]
         seq = seq.zfill(2)

@@ -24,18 +24,25 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    n_frames = 12
-    cfg = bench.build_config()
+    large = "--large" in sys.argv
+    n_frames = 60 if large else 12
+    cfg = bench.build_config(large=large)
     from clid_slam_tpu.pipeline.streaming import StreamingSlam
-    from clid_slam_tpu.pipeline.synthetic import generate_sequence
 
-    seq = generate_sequence(
-        n_frames=n_frames + 4, n_azimuth=1024, n_elev=32, noise_std=0.01,
-        seed=3,
-    )
-    w = 2 * np.pi / 20.0
-    vel0 = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
-    system = StreamingSlam(cfg, total_frames=n_frames + 8)
+    if large:
+        seq = bench.make_sequence(True, n_frames + 4)
+        vel0 = bench._vel0(seq, "large")
+        system = StreamingSlam(cfg, total_frames=bench.TOTAL_FRAMES)
+    else:
+        from clid_slam_tpu.pipeline.synthetic import generate_sequence
+
+        seq = generate_sequence(
+            n_frames=n_frames + 4, n_azimuth=1024, n_elev=32,
+            noise_std=0.01, seed=3,
+        )
+        w = 2 * np.pi / 20.0
+        vel0 = seq.poses[0][:3, :3] @ np.array([3.0 * w, 0, 0])
+        system = StreamingSlam(cfg, total_frames=n_frames + 8)
     system.seed_pose(seq.poses[0][:3, :3], seq.poses[0][:3, 3], vel0)
 
     # compiled HLO of the steady step -> name -> source map

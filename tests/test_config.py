@@ -55,3 +55,24 @@ def test_reference_yaml_without_tpu_section(tmp_path):
     assert c.max_range == 30.0
     assert c.reg_iter_n == 20
     assert c.map_capacity == 1 << 20  # default
+
+
+def test_dup_independent_auto_by_loss_type(tmp_path):
+    # advisor r4: the expanded-duplicates approximation is only
+    # A/B-validated for bce — auto-resolve OFF for the other loss types
+    p = tmp_path / "z.yaml"
+    p.write_text(
+        "setting:\n  name: x\nloss:\n  main_loss_type: zhong\n"
+    )
+    c = Config.load(str(p))
+    assert c.map_dup_independent is False
+    p2 = tmp_path / "b.yaml"
+    p2.write_text("setting:\n  name: x\nloss:\n  main_loss_type: bce\n")
+    c2 = Config.load(str(p2))
+    assert c2.map_dup_independent is True
+    # explicit force wins over auto
+    c3 = Config()
+    c3.main_loss_type = "zhong"
+    c3.map_dup_independent = True
+    c3._derive()
+    assert c3.map_dup_independent is True
