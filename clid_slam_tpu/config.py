@@ -44,6 +44,11 @@ class Config:
     use_kiss_dataloader: bool = False
     data_loader_name: str = "generic"
     data_loader_seq: str = ""
+    # live-view bridge (pipeline/liveview.py): stream poses/scan/map/mesh
+    # packets over TCP to tools/live_viewer.py on a workstation — the
+    # headless-pod analog of the reference's Open3D GUI (gui/slam_gui.py)
+    live_view_on: bool = False
+    live_view_port: int = 9876
     pc_path: str = ""
     imu_path: str = ""
     pose_ts_path: str = ""
@@ -377,6 +382,8 @@ class Config:
         )
         c.data_loader_name = s.get("data_loader_name", c.data_loader_name)
         c.data_loader_seq = s.get("data_loader_seq", c.data_loader_seq)
+        c.live_view_on = s.get("live_view_on", c.live_view_on)
+        c.live_view_port = int(s.get("live_view_port", c.live_view_port))
         c.pc_path = s.get("pc_path", c.pc_path)
         c.imu_path = s.get("imu_path", c.imu_path)
         c.pose_path = s.get("pose_path", c.pose_path)

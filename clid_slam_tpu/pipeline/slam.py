@@ -174,6 +174,24 @@ class SlamSystem:
         from .control import ControlChannel
 
         self.control = ControlChannel(self.run_path)
+        self.live_view = None
+        if cfg.live_view_on:
+            from .liveview import LiveViewPublisher
+
+            self.live_view = LiveViewPublisher(port=cfg.live_view_port)
+        from ..utils.observability import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            enabled=cfg.wandb_vis_on,
+            run_name=cfg.run_name or cfg.name,
+            run_dir=self.run_path,
+            config={
+                k: v
+                for k, v in vars(cfg).items()
+                if isinstance(v, (int, float, str, bool))
+            },
+            silence=cfg.silence,
+        )
         self.stop_requested = False
 
     def _build_query_fns(self, rotate_vecs: bool):
@@ -671,6 +689,30 @@ class SlamSystem:
         )
         d.processed_frame += 1
         self.stats.append(st)
+        self.metrics_logger.log_frame(
+            frame_id, st.timings,
+            {"sdf": st.sdf_loss, "eikonal": st.eik_loss},
+        )
+        if self.live_view is not None:
+            # stream the per-frame basics; map points on the pose-log
+            # cadence (gui/slam_gui.py renders neural points + scan +
+            # trajectory; PCA colors live in tools/inspect_map)
+            scan = None
+            if d.cur_source_points is not None:
+                sp = np.asarray(d.cur_source_points)
+                sm = np.asarray(d.cur_source_mask)
+                R, t = st.pose[:3, :3], st.pose[:3, 3]
+                scan = sp[sm] @ R.T + t
+            self.live_view.publish_frame(
+                frame_id, st.pose, scan,
+                traj=d.odom_poses[: frame_id + 1, :3, 3],
+            )
+            if frame_id % 10 == 0:
+                cnt = int(self.map_state.count)
+                self.live_view.publish_neural_points(
+                    frame_id,
+                    np.asarray(self.map_state.positions[:cnt]),
+                )
         return st
 
     # ------------------------------------------------- in-loop vis artifacts
@@ -849,6 +891,8 @@ class SlamSystem:
                 result["merged_point_cloud"] = out
         with open(os.path.join(run_path, "metrics.json"), "w") as f:
             json.dump(result, f, indent=2)
+        self.metrics_logger.log_final(result)
+        self.metrics_logger.finish()
         return result
 
     # ------------------------------------------------- checkpoint / resume
