@@ -26,6 +26,9 @@ def main():
 
     large = "--large" in sys.argv
     n_frames = 60 if large else 12
+    for a in sys.argv[1:]:
+        if a.startswith("--frames="):
+            n_frames = int(a.split("=")[1])
     cfg = bench.build_config(large=large)
     from clid_slam_tpu.pipeline.streaming import StreamingSlam
 
