@@ -76,15 +76,17 @@ def build_config(large: bool = False):
     cfg.freeze_after_frame = 15
     cfg.loss_weight_on = True
     cfg.adaptive_iters = True
-    # right-sized to the benchmark scenes (large peaks at ~125k neural
-    # points -> 2.1x capacity headroom, 6% hash load): the XLA TPU
-    # executable VMEM-prefetches table-sized slabs for every probe site,
-    # so oversized tables cost real per-frame copy time (trace_by_source
-    # r5: ~40 ms/frame of copy-start at the old 1<<20/1<<22 sizes). The
-    # shipped config default stays 1<<20/1<<22 for city-scale maps; this
-    # is the per-scene tuning the reference does in its YAMLs.
+    # capacity right-sized to the benchmark scenes (large peaks at ~125k
+    # neural points -> 2.1x headroom): the per-frame O(capacity) slab
+    # passes (feature write-back etc.) shrink 4x — same-process A/B on
+    # the large scenario: -6.5 ms/frame. The HASH stays at 1<<22: at
+    # 1<<21 (6% load) the collision-eviction churn measurably corrupts
+    # the map over 200 frames (ATE 0.052 -> 0.179 full-run A/B r5) —
+    # collision rate is accuracy-critical, table size is not (the
+    # reference uses 5e7 buckets for the same reason,
+    # utils/config.py:121).
     cfg.map_capacity = 1 << 18
-    cfg.map_hash_size = 1 << 21
+    cfg.map_hash_size = 1 << 22
     cfg.local_map_capacity = 1 << 19
     cfg.local_map_hash_size = 1 << 21
     cfg.max_scan_points = 1 << 15
