@@ -11,8 +11,9 @@ Prints ONE JSON line:
   accuracy compared against the unmodified reference engine on the same
   sequence). The LARGE-scale run (200 frames, 100 m hall, 1e5+ neural
   points, prune + window cadences firing) rides in extra["large"] for
-  throughput-at-scale AND accuracy (r4: ATE 0.124 m classic-CPU /
-  reference engine 0.132 m on the same 200-frame sequence).
+  throughput-at-scale AND accuracy (r5: ATE 0.05-0.09 m across runs vs
+  the reference engine's 0.132 m on the same 200-frame sequence, at
+  ~92 ms/frame vs its 2.5 s/frame on CPU).
 - vs_baseline is against the reference's real-time budget of 10 scans/s
   (100 ms/frame on an RTX 4090 — utils/tools.py:948, BASELINE.md).
 - extra["reference_cpu*"]: the UNMODIFIED reference engine (torch, CPU,
@@ -409,7 +410,7 @@ def hbm_estimate(cfg, frame_ms, n_cells, n_local_cells=7):
         + cfg.max_source_points * n_cells * row  # tracking candidates
         + cfg.surface_sample_n * P * n_local_cells * row  # region labels
         + (1 + cfg.surface_sample_n) * P * row  # insert probe (1 cell)
-        + S_all * P * n_local_cells * row  # novelty certainty probe
+        + S_all * P * 8  # own-cell novelty: ht idx + certainty gathers
     )
     feature_io = (
         cfg.max_source_points * 16 * (cfg.feature_dim + 3) * 4  # n_cand
@@ -501,6 +502,12 @@ def main():
                 extra["large"]["stage_breakdown"] = {"error": str(e)[:200]}
         extra["large"]["mfu"] = mfu_estimate(
             cfg, extra["large"]["median_frame_ms"]
+        )
+        from clid_slam_tpu.ops.voxel import neighbor_offsets
+
+        extra["large"]["hbm"] = hbm_estimate(
+            cfg, extra["large"]["median_frame_ms"],
+            neighbor_offsets(cfg.num_nei_cells, cfg.search_alpha).shape[0],
         )
         # r4: the r3 "known issue" is closed -- the r3 scenario defeated
         # the UNMODIFIED reference engine identically (scenario property:
