@@ -135,6 +135,24 @@ def insert_points(
     if downsample:
         mask = voxel_down_sample_mask(points, mask, resolution, hsize)
 
+    m_total = jnp.sum(mask.astype(jnp.int32))
+    if m > 65536:
+        # compact the (voxel-downsampled) candidates BEFORE the probe:
+        # the surf-sample block arrives as 164k masked rows but carries
+        # at most ~one winner per visible voxel (<=30k in practice), and
+        # the probe chain (mirror + hash_table + ts_update gathers) costs
+        # per ROW — compacting first cuts it 2.5x (trace_by_source r5:
+        # ~6 ms of insert-chain gathers at bench shapes). Stable order
+        # (cumsum) keeps the staging identical to the uncompacted path.
+        w1 = 65536
+        offs1 = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        sel1 = jnp.where(mask & (offs1 < w1), offs1, _OOB)
+        points = jnp.zeros((w1, 3), jnp.float32).at[sel1].set(
+            points, mode="drop", unique_indices=True
+        )
+        mask = jnp.arange(w1, dtype=jnp.int32) < jnp.minimum(m_total, w1)
+        m = w1
+
     g = grid_coords(points, resolution)
     h = voxel_hash(g, hsize)
     mir = state.hash_mirror[h]  # [M,4] — occupant position from the mirror
@@ -190,7 +208,7 @@ def insert_points(
     )  # [W, 4]
     hash_mirror = state.hash_mirror.at[hash_slot].set(mirror_rows, mode="drop")
 
-    new_ratio = n_new / jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    new_ratio = n_new / jnp.maximum(m_total, 1)
     new_state = NeuralMapState(
         positions=positions,
         quats=state.quats,

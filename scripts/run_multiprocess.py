@@ -83,14 +83,14 @@ def worker(proc_id: int):
     ssys.block()
     sest = np.asarray(ssys.state.odom_poses[:N_FRAMES], np.float64)
     sm = metrics.absolute_error(sest, seq.poses[:N_FRAMES], align=False)
+    # map_state.count is sharded across BOTH processes: allgather it
+    from jax.experimental import multihost_utils
+
     stream_counts = np.asarray(
         multihost_utils.process_allgather(
             ssys.state.map_state.count, tiled=True
         )
     ).reshape(-1).tolist()
-    # map_state.count is sharded across BOTH processes: allgather it
-    from jax.experimental import multihost_utils
-
     counts = np.asarray(
         multihost_utils.process_allgather(system.map_state.count, tiled=True)
     ).reshape(-1).tolist()
